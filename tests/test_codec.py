@@ -1,0 +1,92 @@
+"""Codec round-trip property tests (FIXTURES.md §3): decode∘encode == id on
+seeded random posting lists, plus block-max bound correctness."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from text_search_spark.codec import (
+    BLOCK,
+    decode_blockmax,
+    decode_postings,
+    decode_postings_flat,
+    encode_blockmax,
+    encode_postings,
+    encode_postings_flat,
+    tf_saturation,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varbyte_decode(varbyte_encode(arr)).tolist() == vals
+
+
+def _random_postings(rng, n_docs):
+    doc_ids = np.sort(rng.choice(10**9, size=n_docs, replace=False))
+    tfs = rng.integers(1, 20, size=n_docs)
+    positions = [
+        np.sort(rng.choice(5000, size=int(tf), replace=False)) for tf in tfs
+    ]
+    return doc_ids.astype(np.int64), tfs.astype(np.int64), positions
+
+
+def test_postings_roundtrip_seeded():
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n = int(rng.integers(1, 400))
+        doc_ids, tfs, positions = _random_postings(rng, n)
+        buf = encode_postings(doc_ids, tfs, positions)
+        d2, t2, p2 = decode_postings(buf)
+        assert (d2 == doc_ids).all()
+        assert (t2 == tfs).all()
+        for a, b in zip(positions, p2):
+            assert (a == np.asarray(b)).all()
+
+
+def test_postings_flat_roundtrip_and_compression():
+    rng = np.random.default_rng(11)
+    doc_ids = np.sort(rng.choice(10**7, size=10_000, replace=False)).astype(
+        np.int64
+    )
+    tfs = rng.integers(1, 5, size=10_000).astype(np.int64)
+    flat = np.concatenate(
+        [np.sort(rng.choice(4000, size=int(t), replace=False)) for t in tfs]
+    ).astype(np.int64)
+    buf = encode_postings_flat(doc_ids, tfs, flat)
+    d2, t2, f2 = decode_postings_flat(buf)
+    assert (d2 == doc_ids).all() and (t2 == tfs).all() and (f2 == flat).all()
+    raw_bytes = 8 * (doc_ids.size + tfs.size + flat.size)
+    assert len(buf) < raw_bytes / 2  # gap+varbyte actually compresses
+
+
+def test_empty_postings():
+    buf = encode_postings_flat(
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+    )
+    d, t, f = decode_postings_flat(buf)
+    assert d.size == 0 and t.size == 0 and f.size == 0
+
+
+def test_blockmax_is_upper_bound():
+    rng = np.random.default_rng(3)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 30, size=n).astype(np.int64)
+    doc_lens = rng.integers(8, 2048, size=n).astype(np.int64)
+    avgdl = float(doc_lens.mean())
+    buf = encode_blockmax(doc_ids, tfs, doc_lens, avgdl)
+    last_doc, max_sat = decode_blockmax(buf)
+    sat = tf_saturation(tfs, doc_lens, avgdl)
+    assert last_doc.size == (n + BLOCK - 1) // BLOCK
+    for bi in range(last_doc.size):
+        s, e = bi * BLOCK, min((bi + 1) * BLOCK, n)
+        assert last_doc[bi] == doc_ids[e - 1]
+        # float32 storage: bound must still dominate (within eps)
+        assert max_sat[bi] >= sat[s:e].max() * (1 - 1e-6)

@@ -1,0 +1,206 @@
+"""Posting-list physical codec: delta-gap + variable-byte, with block-max
+metadata for WAND pruning (SURVEY.md §4 custom-work item 2).
+
+The reference bounds memory by renumbering its alphabet before the radix sort
+(/root/reference/textsearch/python/textsearch/suffix_array.py:73-78); our
+analog at index scale is gap+varbyte compression of posting lists. Everything
+is NumPy-vectorized (no per-doc Python) so it runs inside Arrow UDFs on the
+build/query hot path.
+
+Posting-list layout for one term — struct-of-arrays, so decode is three
+vectorized slices (all values varbyte uint64):
+  [n_docs]
+  [doc_gap_0 .. doc_gap_{n-1}]     doc_gap_0 = doc_id_0, strictly ascending
+  [tf_0 .. tf_{n-1}]
+  [pos_gap stream]                 per-doc position gaps, first = position_0
+
+Block-max sidecar (BLOCK docs per block, little-endian struct array):
+  (last_doc_id uint64, max_tf_sat float32) per block, where tf_sat is the
+  exact per-doc BM25 tf-saturation factor tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl));
+  multiplied by idf at query time it upper-bounds the block's contribution.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+BLOCK = 128
+K1 = 1.2
+B = 0.75
+
+_BM_DTYPE = np.dtype([("last_doc", "<u8"), ("max_sat", "<f4")])
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte (7 bits/byte, high bit = continuation)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    rem = v.copy()
+    k = 0
+    active = np.arange(v.size)
+    while active.size:
+        idx = starts[active] + k
+        byte = (rem[active] & np.uint64(0x7F)).astype(np.uint8)
+        more = (rem[active] >> np.uint64(7)) > 0
+        out[idx] = byte | (more.astype(np.uint8) << 7)
+        rem[active] >>= np.uint64(7)
+        active = active[more]
+        k += 1
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized varbyte decode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    lengths = ends - starts + 1
+    out = np.zeros(ends.size, dtype=np.uint64)
+    payload = (b & 0x7F).astype(np.uint64)
+    for k in range(int(lengths.max())):
+        mask = lengths > k
+        out[mask] |= payload[starts[mask] + k] << np.uint64(7 * k)
+    return out
+
+
+def _segment_delta(flat: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Per-segment delta: gap[i] = flat[i]-flat[i-1], except at segment starts
+    where gap = flat[start] (absolute). Fully vectorized."""
+    gaps = np.empty_like(flat)
+    gaps[1:] = flat[1:] - flat[:-1]
+    if flat.size:
+        gaps[0] = flat[0]
+        gaps[seg_starts] = flat[seg_starts]
+    return gaps
+
+
+def _segment_cumsum(gaps: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Inverse of _segment_delta: per-segment inclusive cumsum, vectorized
+    via global-cumsum minus carried offset."""
+    if gaps.size == 0:
+        return gaps
+    g = np.cumsum(gaps)
+    # offset to subtract for each element = global cumsum just before its
+    # segment start
+    seg_of = np.zeros(gaps.size, dtype=np.int64)
+    seg_of[seg_starts] = 1
+    seg_id = np.cumsum(seg_of) - 1
+    base = np.concatenate([[0], g])[seg_starts]  # cumsum before each segment
+    return g - base[seg_id]
+
+
+def encode_postings_flat(
+    doc_ids: np.ndarray, tfs: np.ndarray, flat_positions: np.ndarray
+) -> bytes:
+    """doc_ids strictly ascending; flat_positions = concatenation of each
+    doc's ascending positions (len == tfs.sum())."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    flat_positions = np.asarray(flat_positions, dtype=np.int64)
+    n = doc_ids.size
+    doc_gaps = np.diff(doc_ids, prepend=0).astype(np.uint64)
+    seg_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]) if n else np.empty(
+        0, dtype=np.int64
+    )
+    pos_gaps = _segment_delta(flat_positions, seg_starts.astype(np.int64)).astype(
+        np.uint64
+    )
+    stream = np.concatenate(
+        [
+            np.array([n], dtype=np.uint64),
+            doc_gaps,
+            tfs.astype(np.uint64),
+            pos_gaps,
+        ]
+    )
+    return varbyte_encode(stream)
+
+
+def decode_postings_flat(
+    buf: bytes,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_ids int64, tfs int64, flat_positions int64)."""
+    vals = varbyte_decode(buf)
+    if vals.size == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+    n = int(vals[0])
+    doc_ids = np.cumsum(vals[1 : 1 + n].astype(np.int64))
+    tfs = vals[1 + n : 1 + 2 * n].astype(np.int64)
+    pos_gaps = vals[1 + 2 * n :].astype(np.int64)
+    seg_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]) if n else np.empty(
+        0, dtype=np.int64
+    )
+    flat_positions = _segment_cumsum(pos_gaps, seg_starts.astype(np.int64))
+    return doc_ids, tfs, flat_positions
+
+
+# convenience ragged wrappers (tests / small-data paths)
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, positions: List[np.ndarray]
+) -> bytes:
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+        if positions
+        else np.empty(0, dtype=np.int64)
+    )
+    return encode_postings_flat(doc_ids, tfs, flat)
+
+
+def decode_postings(buf: bytes) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
+    doc_ids, tfs, flat = decode_postings_flat(buf)
+    positions, off = [], 0
+    for tf in tfs:
+        positions.append(flat[off : off + int(tf)])
+        off += int(tf)
+    return doc_ids, tfs, positions
+
+
+def tf_saturation(
+    tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float
+) -> np.ndarray:
+    """Exact BM25 tf factor per posting: tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl))."""
+    tfs = np.asarray(tfs, dtype=np.float64)
+    doc_lens = np.asarray(doc_lens, dtype=np.float64)
+    return tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * doc_lens / avgdl))
+
+
+def encode_blockmax(
+    doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float
+) -> bytes:
+    """Per-BLOCK (last_doc_id, max tf_saturation) sidecar, vectorized."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    sat = tf_saturation(tfs, doc_lens, avgdl)
+    n = doc_ids.size
+    nblocks = (n + BLOCK - 1) // BLOCK
+    out = np.empty(nblocks, dtype=_BM_DTYPE)
+    pad = nblocks * BLOCK - n
+    sat_p = np.pad(sat, (0, pad), constant_values=0.0).reshape(nblocks, BLOCK)
+    ends = np.minimum(np.arange(1, nblocks + 1) * BLOCK, n) - 1
+    out["last_doc"] = doc_ids[ends].astype(np.uint64)
+    out["max_sat"] = sat_p.max(axis=1).astype(np.float32)
+    return out.tobytes()
+
+
+def decode_blockmax(buf: bytes) -> Tuple[np.ndarray, np.ndarray]:
+    arr = np.frombuffer(buf, dtype=_BM_DTYPE)
+    return arr["last_doc"].astype(np.int64), arr["max_sat"].copy()
