@@ -59,10 +59,12 @@ def test_postings_flat_roundtrip_and_compression():
     flat = np.concatenate(
         [np.sort(rng.choice(4000, size=int(t), replace=False)) for t in tfs]
     ).astype(np.int64)
-    buf = encode_postings_flat(doc_ids, tfs, flat)
-    d2, t2, f2 = decode_postings_flat(buf)
+    doc_lens = rng.integers(8, 2048, size=10_000).astype(np.int64)
+    buf = encode_postings_flat(doc_ids, tfs, flat, doc_lens)
+    d2, t2, f2, l2 = decode_postings_flat(buf)
     assert (d2 == doc_ids).all() and (t2 == tfs).all() and (f2 == flat).all()
-    raw_bytes = 8 * (doc_ids.size + tfs.size + flat.size)
+    assert (l2 == doc_lens).all()
+    raw_bytes = 8 * (doc_ids.size + tfs.size + flat.size + doc_lens.size)
     assert len(buf) < raw_bytes / 2  # gap+varbyte actually compresses
 
 
@@ -70,8 +72,8 @@ def test_empty_postings():
     buf = encode_postings_flat(
         np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
     )
-    d, t, f = decode_postings_flat(buf)
-    assert d.size == 0 and t.size == 0 and f.size == 0
+    d, t, f, l = decode_postings_flat(buf)
+    assert d.size == 0 and t.size == 0 and f.size == 0 and l.size == 0
 
 
 def test_blockmax_is_upper_bound():

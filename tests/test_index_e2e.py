@@ -1,0 +1,112 @@
+"""End-to-end: Spark index build + BM25 top-k vs the NumPy oracle —
+rank-identical docIDs, score-identical to atol 1e-6 (BASELINE.md target),
+across OR / AND / phrase modes on the full 100-query reference set."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from text_search_spark.corpus import generate_pages, generate_queries
+from text_search_spark.index.build import (
+    build_index,
+    check_doc_id_unique,
+    hash_doc_id_py,
+    prepare_corpus,
+)
+from text_search_spark.index.query import QuerySpec, bm25_topk_df
+from text_search_spark.oracle import bm25_topk, build_oracle_index
+
+N_DOCS = 800
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("ix") / "index")
+    pages = generate_pages(N_DOCS)
+    pdf = spark.createDataFrame(
+        [(p.url, p.text) for p in pages], "url string, text string"
+    )
+    corpus = prepare_corpus(pdf, url_col="url")
+    check_doc_id_unique(corpus)
+    build_index(
+        spark, corpus, index_dir, n_buckets=8, n_shards=3, bucket_groups=2
+    )
+    oracle_ix = build_oracle_index(
+        [(hash_doc_id_py(p.url), p.text) for p in pages]
+    )
+    return index_dir, oracle_ix, pages
+
+
+def test_manifest_and_stats(spark, built):
+    index_dir, oracle_ix, pages = built
+    from text_search_spark.index import format as fmt
+
+    man = fmt.load_manifest(index_dir)
+    assert man.complete
+    assert man.n_docs == N_DOCS == oracle_ix.n_docs
+    assert math.isclose(man.avgdl, oracle_ix.avgdl, rel_tol=0, abs_tol=0)
+
+    ts = spark.read.parquet(fmt.term_stats_dir(index_dir))
+    rows = {r.term: (r.df, r.cf) for r in ts.collect()}
+    assert len(rows) == len(oracle_ix.tf)
+    for term, docs in oracle_ix.tf.items():
+        assert rows[term][0] == len(docs), term
+        assert rows[term][1] == sum(docs.values()), term
+
+
+def test_doc_stats_match(spark, built):
+    index_dir, oracle_ix, pages = built
+    from text_search_spark.index import format as fmt
+
+    ds = spark.read.parquet(fmt.doc_stats_dir(index_dir))
+    got = {r.doc_id: r.doc_len for r in ds.collect()}
+    assert got == oracle_ix.doc_len
+
+
+def test_rank_and_score_identity(spark, built):
+    index_dir, oracle_ix, _ = built
+    queries = generate_queries()
+    specs = [QuerySpec(q.query_id, q.terms, q.mode) for q in queries]
+    out = bm25_topk_df(spark, index_dir, specs, k=10).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    n_nonempty = 0
+    for q in queries:
+        expected = bm25_topk(oracle_ix, q.terms, k=10, mode=q.mode)
+        mine = sorted(got.get(q.query_id, []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expected], q
+        for (_, _, s_got), (_, s_exp) in zip(mine, expected):
+            assert abs(s_got - s_exp) <= 1e-6, (q.query_id, s_got, s_exp)
+        n_nonempty += bool(expected)
+    assert n_nonempty >= 60
+
+
+def test_phrase_queries_hit_needles(spark, built):
+    index_dir, oracle_ix, _ = built
+    queries = [q for q in generate_queries() if q.mode == "phrase"]
+    specs = [QuerySpec(q.query_id, q.terms, q.mode) for q in queries]
+    out = bm25_topk_df(spark, index_dir, specs, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    # oracle agreement is covered above; here: at least one phrase query
+    # resolves to a real needle hit in this corpus slice
+    total_hits = sum(len(v) for v in by_q.values())
+    exp_hits = sum(
+        len(bm25_topk(oracle_ix, q.terms, k=10, mode="phrase")) for q in queries
+    )
+    assert total_hits == exp_hits
+
+
+def test_missing_terms_and_empty_query(spark, built):
+    index_dir, _, _ = built
+    specs = [
+        QuerySpec("m1", ["zzzznotaword"], "or"),
+        QuerySpec("m2", ["zzzznotaword", "the"], "and"),
+        QuerySpec("m3", ["..."], "or"),
+    ]
+    rows = bm25_topk_df(spark, index_dir, specs, k=5).collect()
+    assert rows == []

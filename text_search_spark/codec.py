@@ -7,11 +7,13 @@ analog at index scale is gap+varbyte compression of posting lists. Everything
 is NumPy-vectorized (no per-doc Python) so it runs inside Arrow UDFs on the
 build/query hot path.
 
-Posting-list layout for one term — struct-of-arrays, so decode is three
+Posting-list layout for one term — struct-of-arrays, so decode is four
 vectorized slices (all values varbyte uint64):
   [n_docs]
   [doc_gap_0 .. doc_gap_{n-1}]     doc_gap_0 = doc_id_0, strictly ascending
   [tf_0 .. tf_{n-1}]
+  [doc_len_0 .. doc_len_{n-1}]     per-doc token count, so BM25 scoring
+                                   needs NO join against doc_stats
   [pos_gap stream]                 per-doc position gaps, first = position_0
 
 Block-max sidecar (BLOCK docs per block, little-endian struct array):
@@ -105,13 +107,18 @@ def _segment_cumsum(gaps: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
 
 
 def encode_postings_flat(
-    doc_ids: np.ndarray, tfs: np.ndarray, flat_positions: np.ndarray
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    flat_positions: np.ndarray,
+    doc_lens: np.ndarray | None = None,
 ) -> bytes:
     """doc_ids strictly ascending; flat_positions = concatenation of each
-    doc's ascending positions (len == tfs.sum())."""
+    doc's ascending positions (len == tfs.sum()); doc_lens per doc."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     flat_positions = np.asarray(flat_positions, dtype=np.int64)
+    if doc_lens is None:
+        doc_lens = np.zeros_like(tfs)
     n = doc_ids.size
     doc_gaps = np.diff(doc_ids, prepend=0).astype(np.uint64)
     seg_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]) if n else np.empty(
@@ -125,6 +132,7 @@ def encode_postings_flat(
             np.array([n], dtype=np.uint64),
             doc_gaps,
             tfs.astype(np.uint64),
+            np.asarray(doc_lens, dtype=np.uint64),
             pos_gaps,
         ]
     )
@@ -133,41 +141,42 @@ def encode_postings_flat(
 
 def decode_postings_flat(
     buf: bytes,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (doc_ids int64, tfs int64, flat_positions int64)."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_ids int64, tfs int64, flat_positions int64, doc_lens int64)."""
     vals = varbyte_decode(buf)
     if vals.size == 0:
-        return (
-            np.empty(0, np.int64),
-            np.empty(0, np.int64),
-            np.empty(0, np.int64),
-        )
+        e = np.empty(0, np.int64)
+        return e, e.copy(), e.copy(), e.copy()
     n = int(vals[0])
     doc_ids = np.cumsum(vals[1 : 1 + n].astype(np.int64))
     tfs = vals[1 + n : 1 + 2 * n].astype(np.int64)
-    pos_gaps = vals[1 + 2 * n :].astype(np.int64)
+    doc_lens = vals[1 + 2 * n : 1 + 3 * n].astype(np.int64)
+    pos_gaps = vals[1 + 3 * n :].astype(np.int64)
     seg_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]) if n else np.empty(
         0, dtype=np.int64
     )
     flat_positions = _segment_cumsum(pos_gaps, seg_starts.astype(np.int64))
-    return doc_ids, tfs, flat_positions
+    return doc_ids, tfs, flat_positions, doc_lens
 
 
 # convenience ragged wrappers (tests / small-data paths)
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, positions: List[np.ndarray]
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: List[np.ndarray],
+    doc_lens: np.ndarray | None = None,
 ) -> bytes:
     flat = (
         np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
         if positions
         else np.empty(0, dtype=np.int64)
     )
-    return encode_postings_flat(doc_ids, tfs, flat)
+    return encode_postings_flat(doc_ids, tfs, flat, doc_lens)
 
 
 def decode_postings(buf: bytes) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
-    doc_ids, tfs, flat = decode_postings_flat(buf)
+    doc_ids, tfs, flat, _ = decode_postings_flat(buf)
     positions, off = [], 0
     for tf in tfs:
         positions.append(flat[off : off + int(tf)])

@@ -1,0 +1,378 @@
+"""Distributed inverted-index build (SURVEY.md §7.1 M1-M3, M5).
+
+Replaces the reference's single-process suffix-array index build
+(/root/reference/textsearch/python/textsearch/suffix_array.py:46-89,
+csrc/suffix_array.cc:58-140) with a Spark-native pipeline:
+
+  corpus --(JVM tokenizer expr, no Python)--> exploded tokens
+         --(ONE hash shuffle on (term_bucket, shard))--> sorted partitions
+         --(streaming mapInPandas, NumPy codec)--> compressed segments
+
+Scale design:
+  * `shard = pmod(xxhash64(doc_id), n_shards)` bounds head-term (Zipf) skew:
+    the largest posting partial is df(term)/n_shards — the salted
+    repartitioning required by the north rule. Because the shard is a pure
+    function of doc_id, shards are doc-disjoint CONSISTENTLY across terms,
+    which makes query-time scoring doc-sharded (no cross-term data motion,
+    fixed float64 summation order; see query.py).
+  * Sort-based segment build: sortWithinPartitions(term, shard, doc_id, pos)
+    + a streaming Arrow UDF — no collect_list, no per-group Python, memory
+    bounded by the largest (term, shard) partial.
+  * Sizing rule at scale: pick n_shards so max_df/n_shards postings fit an
+    executor task (~100M rows), n_buckets so a bucket's segment files stay
+    in the 128MB-1GB range; both are config, not code.
+  * Resume: the exploded token relation is materialized ONCE (tokens_tmp,
+    partitioned by term_bucket), then segment building proceeds in
+    bucket-group jobs, each a checkpointed unit — re-running after a failure
+    skips completed groups and never re-tokenizes the corpus. Final
+    manifest.json is the atomic commit (Iceberg-snapshot analog).
+  * Counters (docs tokenized, postings emitted, bytes compressed) land in
+    an append-only metrics table, computed exactly from the outputs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codec import encode_blockmax, encode_postings_flat
+from ..textnorm import spark_tokens
+from . import format as fmt
+
+TOKENS_TMP = "tokens_tmp"
+
+
+def hash_doc_id(col):
+    """Deterministic 60-bit doc_id from a url column — pure function, no
+    shuffle, computable identically in Python/DuckDB (md5 prefix). At 10^12
+    docs prefer the 120-bit two-column variant; uniqueness is asserted by
+    check_doc_id_unique()."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash_doc_id_py(url: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(url.encode()).hexdigest()[:15], 16)
+
+
+def duckdb_doc_id_sql(col: str) -> str:
+    return f"CAST(('0x' || substring(md5({col}), 1, 15)) AS BIGINT)"
+
+
+def prepare_corpus(
+    df: DataFrame,
+    doc_id_col: Optional[str] = None,
+    url_col: Optional[str] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Normalize any corpus to (doc_id long, url string, text string)."""
+    if doc_id_col is not None:
+        out = df.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            (F.col(url_col) if url_col else F.col(doc_id_col).cast("string")).alias(
+                "url"
+            ),
+            F.col(text_col).alias("text"),
+        )
+    else:
+        assert url_col is not None, "need doc_id_col or url_col"
+        out = df.select(
+            hash_doc_id(F.col(url_col)).alias("doc_id"),
+            F.col(url_col).alias("url"),
+            F.col(text_col).alias("text"),
+        )
+    return out
+
+
+def check_doc_id_unique(corpus: DataFrame) -> None:
+    n, nd = corpus.select(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd")
+    ).first()
+    if n != nd:
+        raise ValueError(f"doc_id collision: {n} rows, {nd} distinct doc_ids")
+
+
+def _segment_builder(avgdl: float):
+    """Streaming mapInPandas fn: sorted (term_bucket, shard, term, doc_id,
+    doc_len, pos) rows -> one segment row per (term, shard) group."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hold: Optional[pd.DataFrame] = None
+        out_rows: List[tuple] = []
+
+        def flush_group(g: pd.DataFrame) -> None:
+            doc_id = g["doc_id"].to_numpy(np.int64)
+            pos = g["pos"].to_numpy(np.int64)
+            dlen = g["doc_len"].to_numpy(np.int64)
+            # consecutive-run grouping (input sorted by doc_id, pos)
+            starts = np.flatnonzero(
+                np.concatenate([[True], doc_id[1:] != doc_id[:-1]])
+            )
+            udocs = doc_id[starts]
+            tfs = np.diff(np.concatenate([starts, [doc_id.size]]))
+            dls = dlen[starts]
+            postings = encode_postings_flat(udocs, tfs, pos, dls)
+            blockmax = encode_blockmax(udocs, tfs, dls, avgdl)
+            out_rows.append(
+                (
+                    int(g["term_bucket"].iat[0]),
+                    g["term"].iat[0],
+                    int(g["shard"].iat[0]),
+                    int(udocs.size),
+                    int(doc_id.size),
+                    postings,
+                    blockmax,
+                )
+            )
+
+        def drain() -> pd.DataFrame:
+            nonlocal out_rows
+            df = pd.DataFrame(
+                out_rows,
+                columns=[
+                    "term_bucket",
+                    "term",
+                    "shard",
+                    "df_part",
+                    "cf_part",
+                    "postings",
+                    "blockmax",
+                ],
+            )
+            out_rows = []
+            return df
+
+        for batch in batches:
+            if hold is not None and len(hold):
+                batch = pd.concat([hold, batch], ignore_index=True)
+            if not len(batch):
+                hold = None
+                continue
+            codes, _ = pd.factorize(batch["term"], sort=False)
+            gkey = codes.astype(np.int64) * 1_000_003 + batch[
+                "shard"
+            ].to_numpy(np.int64)
+            change = np.flatnonzero(
+                np.concatenate([[True], gkey[1:] != gkey[:-1]])
+            )
+            # last group may continue into the next batch -> hold it back
+            for s, e in zip(change[:-1], change[1:]):
+                flush_group(batch.iloc[s:e])
+            hold = batch.iloc[change[-1] :].copy()
+            if len(out_rows) >= 256:
+                yield drain()
+        if hold is not None and len(hold):
+            flush_group(hold)
+        if out_rows:
+            yield drain()
+
+    return build
+
+
+def _append_metrics(
+    spark: SparkSession,
+    index_dir: str,
+    run_id: str,
+    stage: str,
+    unit: str,
+    docs: int,
+    postings: int,
+    nbytes: int,
+    status: str = "complete",
+) -> None:
+    row = [
+        (
+            run_id,
+            stage,
+            unit,
+            int(docs),
+            int(postings),
+            int(nbytes),
+            status,
+            _dt.datetime.now(_dt.timezone.utc),
+        )
+    ]
+    schema = (
+        "run_id string, stage string, unit string, docs long, "
+        "postings long, bytes long, status string, updated_at timestamp"
+    )
+    spark.createDataFrame(row, schema).write.mode("append").parquet(
+        fmt.metrics_dir(index_dir)
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    n_buckets: int = 32,
+    n_shards: int = 4,
+    run_id: str = "run0",
+    bucket_groups: int = 4,
+    fail_after: Optional[str] = None,
+    cleanup_tmp: bool = True,
+) -> None:
+    """Build (or resume building) the index at index_dir.
+
+    corpus: (doc_id, url, text) from prepare_corpus().
+    fail_after: test hook — raise after checkpointing the named stage,
+    simulating a mid-build crash for the resume test.
+    """
+    man = fmt.load_manifest(index_dir)
+    if man is None or man.complete:
+        # fresh build (a complete index is never silently overwritten by
+        # resume semantics — caller deletes first for a rebuild)
+        if man is not None and man.complete:
+            raise ValueError(f"index at {index_dir} already complete")
+        man = fmt.IndexManifest(
+            n_buckets=n_buckets, n_shards=n_shards, run_id=run_id
+        )
+        fmt.save_manifest(index_dir, man)
+    else:
+        n_buckets, n_shards = man.n_buckets, man.n_shards
+
+    def checkpoint(stage: str) -> None:
+        man.stages[stage] = True
+        fmt.save_manifest(index_dir, man)
+        if fail_after == stage:
+            raise RuntimeError(f"injected failure after stage {stage}")
+
+    tokens_path = os.path.join(index_dir, TOKENS_TMP)
+
+    # ---- stage: doc_stats (scan 1: tokenize-count only, no explode) ----
+    if not man.stages.get("doc_stats"):
+        (
+            corpus.select(
+                "doc_id",
+                "url",
+                F.size(spark_tokens(F.col("text"))).alias("doc_len"),
+            )
+            .write.mode("overwrite")
+            .parquet(fmt.doc_stats_dir(index_dir))
+        )
+        ds = spark.read.parquet(fmt.doc_stats_dir(index_dir))
+        n_docs, total_tokens = ds.select(
+            F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
+        ).first()
+        man.n_docs = int(n_docs)
+        man.total_tokens = int(total_tokens)
+        man.avgdl = man.total_tokens / man.n_docs if man.n_docs else 0.0
+        _append_metrics(
+            spark, index_dir, run_id, "doc_stats", "all", n_docs, 0, 0
+        )
+        checkpoint("doc_stats")
+
+    # ---- stage: tokens_tmp (scan 2: explode + the ONE big shuffle) ----
+    if not man.stages.get("tokens"):
+        tokens = (
+            corpus.select(
+                "doc_id",
+                F.col("text"),
+            )
+            .select(
+                "doc_id",
+                F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
+            )
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            )
+            .withColumn(
+                "shard",
+                F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
+            )
+        )
+        # carry doc_len with the postings so scoring never joins doc_stats;
+        # broadcast-join when small, co-hashed shuffle join otherwise
+        doc_lens = spark.read.parquet(fmt.doc_stats_dir(index_dir)).select(
+            "doc_id", "doc_len"
+        )
+        tokens = tokens.join(doc_lens.hint("broadcast"), "doc_id")
+        (
+            tokens.repartition(
+                max(n_buckets, spark.sparkContext.defaultParallelism),
+                "term_bucket",
+                "shard",
+            )
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(tokens_path)
+        )
+        checkpoint("tokens")
+
+    # ---- stage: segments, in resumable bucket-group units ----
+    groups: List[List[int]] = [
+        list(range(g, n_buckets, bucket_groups)) for g in range(bucket_groups)
+    ]
+    seg_schema = (
+        "term_bucket int, term string, shard int, df_part long, "
+        "cf_part long, postings binary, blockmax binary"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for gi, buckets in enumerate(groups):
+        stage_name = f"segments:{gi}"
+        if man.stages.get(stage_name):
+            continue
+        toks = spark.read.parquet(tokens_path).where(
+            F.col("term_bucket").isin(buckets)  # partition-pruned scan
+        )
+        seg = (
+            toks.repartition(
+                max(len(buckets) * n_shards, 1), "term_bucket", "shard"
+            )
+            .sortWithinPartitions("term", "shard", "doc_id", "pos")
+            .mapInPandas(_segment_builder(man.avgdl), schema=seg_schema)
+        )
+        (
+            seg.write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(fmt.segments_dir(index_dir))
+        )
+        written = spark.read.parquet(fmt.segments_dir(index_dir)).where(
+            F.col("term_bucket").isin(buckets)
+        )
+        docs, postings, nbytes = written.select(
+            F.coalesce(F.sum("df_part"), F.lit(0)),
+            F.coalesce(F.sum("cf_part"), F.lit(0)),
+            F.coalesce(F.sum(F.length("postings")), F.lit(0)),
+        ).first()
+        _append_metrics(
+            spark,
+            index_dir,
+            run_id,
+            stage_name,
+            f"buckets:{buckets}",
+            docs,
+            postings,
+            nbytes,
+        )
+        checkpoint(stage_name)
+
+    # ---- stage: term_stats (small agg over segment rows) ----
+    if not man.stages.get("term_stats"):
+        seg = spark.read.parquet(fmt.segments_dir(index_dir))
+        (
+            seg.groupBy("term", "term_bucket")
+            .agg(
+                F.sum("df_part").alias("df"),
+                F.sum("cf_part").alias("cf"),
+            )
+            .select("term", "df", "cf", "term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(fmt.term_stats_dir(index_dir))
+        )
+        checkpoint("term_stats")
+
+    if cleanup_tmp and os.path.isdir(tokens_path):
+        shutil.rmtree(tokens_path)
+    man.complete = True
+    fmt.save_manifest(index_dir, man)

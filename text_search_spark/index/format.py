@@ -1,0 +1,85 @@
+"""On-disk index layout + small helpers.
+
+Layout under <index_dir>/ (all Parquet; Iceberg-style: immutable data files,
+directory partitioning, an explicit JSON manifest committed last as the
+atomicity point, and an append-only metrics table for lineage):
+
+  segments/term_bucket=NN/   (term string, shard int, df_part long,
+                              cf_part long, postings binary, blockmax binary)
+      doc-sharded-within-term-partitioned posting segments. `shard` is a
+      consistent hash of doc_id so every term's postings for a given doc
+      land in the same shard -> query scoring is doc-sharded with no
+      cross-term shuffle (see query.py).
+  doc_stats/                 (doc_id long, url string, doc_len long)
+  term_stats/                (term string, df long, cf long, term_bucket int)
+  metrics/                   (run_id, stage, unit, docs long, postings long,
+                              bytes long, status, updated_at) — per-partition
+      lineage + counters; append-only (north rule: metrics table).
+  manifest.json              global stats + build config; written LAST.
+      A build is complete iff the manifest exists and `complete` is true.
+      checkpoints: per-stage completion markers for resume (stage name ->
+      true) — segment-level checkpointing (SURVEY.md §7.1 M5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class IndexManifest:
+    n_docs: int = 0
+    total_tokens: int = 0
+    avgdl: float = 0.0
+    n_buckets: int = 32
+    n_shards: int = 4
+    k1: float = 1.2
+    b: float = 0.75
+    complete: bool = False
+    run_id: str = ""
+    stages: Dict[str, bool] = field(default_factory=dict)
+
+
+def manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.json")
+
+
+def load_manifest(index_dir: str) -> Optional[IndexManifest]:
+    p = manifest_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return IndexManifest(**json.load(f))
+
+
+def save_manifest(index_dir: str, m: IndexManifest) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(asdict(m), f, indent=2)
+    os.replace(tmp, manifest_path(index_dir))  # atomic commit point
+
+
+def segments_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments")
+
+
+def doc_stats_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "doc_stats")
+
+
+def term_stats_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "term_stats")
+
+
+def metrics_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "metrics")
+
+
+SEGMENT_SCHEMA = (
+    "term string, shard int, df_part long, cf_part long, "
+    "postings binary, blockmax binary"
+)
