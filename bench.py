@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the headline operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+Headline queries:
+  index_build      — full inverted-index build over `documents` (fresh dir)
+  bm25_batch       — 50 derived queries (30 single / 10 AND / 10 OR) in one
+                     batched engine call
+  bm25_seq10       — 10 single-term queries executed one-by-one (per-query
+                     latency; p50/p95 reported in extra)
+  tokenize_count   — full corpus tokenize + explode + count
+  dedup_minhash    — minhash signatures + LSH candidate pairs
+  dedup_exact      — md5 exact-dup grouping
+  simhash          — 60-bit simhash over all docs
+  embedding_knn    — brute-force cosine top-5, 5 queries
+  quality          — quality feature extraction
+
+Scaling evidence (two-parallelism run for BENCH.md) lives in
+bench_scaling.py — kept out of the default bench to bound runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
+
+    from pyspark.sql import functions as F
+
+    from text_search_spark.index import format as ixfmt
+    from text_search_spark.index.build import build_index, prepare_corpus
+    from text_search_spark.index.query import (
+        IndexReader,
+        QuerySpec,
+        bm25_topk_df,
+    )
+    from text_search_spark.operators import ann, dedup, textstats
+    from text_search_spark.session import get_spark
+    from text_search_spark.textnorm import spark_tokens
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {"n_docs": n_docs, "cpus": cpus}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return r
+
+    index_dir = os.path.join(
+        os.environ.get("TSS_BENCH_DIR", "/tmp/tss_bench"), "index"
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    corpus = prepare_corpus(docs, doc_id_col="doc_id")
+
+    # ---- warmup (untimed): JVM codegen + Python/Arrow worker spawn, so the
+    # timings below measure steady-state, not first-job compilation ----
+    warm_dir = index_dir + "_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warm_docs = docs.limit(50).cache()
+    warm_docs.count()
+    build_index(
+        spark,
+        prepare_corpus(warm_docs, doc_id_col="doc_id"),
+        warm_dir,
+        n_buckets=4,
+        n_shards=2,
+        bucket_groups=1,
+    )
+    bm25_topk_df(
+        spark, warm_dir, [QuerySpec("w", ["warmup"], "or")], k=1
+    ).collect()
+    dedup.simhash(warm_docs).count()
+    dedup.lsh_candidate_pairs(dedup.minhash_signatures(warm_docs)).count()
+    warm_docs.unpersist()
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    timed(
+        "index_build",
+        lambda: build_index(
+            spark,
+            corpus,
+            index_dir,
+            n_buckets=None,  # auto-sized from corpus volume
+            n_shards=None,
+            bucket_groups=1,
+        ),
+    )
+    extra["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+    # derive a deterministic query workload from the index's term stats
+    ts = spark.read.parquet(ixfmt.term_stats_dir(index_dir))
+    terms = [
+        r.term
+        for r in ts.where(F.length("term") >= 4)
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(40)
+        .collect()
+    ]
+    specs = [QuerySpec(f"s{i}", [t], "or") for i, t in enumerate(terms[:30])]
+    specs += [
+        QuerySpec(f"a{i}", [terms[i], terms[i + 1]], "and") for i in range(10)
+    ]
+    specs += [
+        QuerySpec(f"o{i}", [terms[i + 10], terms[i + 11]], "or")
+        for i in range(10)
+    ]
+    reader = IndexReader(spark, index_dir)
+    timed(
+        "bm25_batch",
+        lambda: bm25_topk_df(
+            spark, index_dir, specs, k=10, reader=reader
+        ).collect(),
+    )
+
+    lat = []
+    def seq10():
+        for i in range(10):
+            t0 = time.perf_counter()
+            bm25_topk_df(
+                spark,
+                index_dir,
+                [QuerySpec(f"q{i}", [terms[i]], "or")],
+                k=10,
+                reader=reader,
+            ).collect()
+            lat.append(time.perf_counter() - t0)
+    timed("bm25_seq10", seq10)
+    extra["bm25_p50_ms"] = round(statistics.median(lat) * 1000, 1)
+    extra["bm25_p95_ms"] = round(
+        sorted(lat)[max(0, int(len(lat) * 0.95) - 1)] * 1000, 1
+    )
+
+    timed(
+        "tokenize_count",
+        lambda: docs.select(
+            F.posexplode(spark_tokens(F.col("text"))).alias("p", "t")
+        ).count(),
+    )
+    timed(
+        "dedup_minhash",
+        lambda: dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(docs)
+        ).count(),
+    )
+    timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
+    timed("simhash", lambda: dedup.simhash(docs).count())
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    timed("embedding_knn", lambda: ann.cosine_topk(emb, qs, k=5).collect())
+    timed("quality", lambda: textstats.quality_stats(docs).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + BM25 top-10 + pipeline ops wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

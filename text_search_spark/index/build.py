@@ -209,12 +209,31 @@ def _append_metrics(
     )
 
 
+TOKENS_PER_PARTITION = 2_000_000  # target postings per build partition
+
+
+def _auto_size(total_tokens: int, parallelism: int) -> tuple:
+    """Pick (n_buckets, n_shards) from corpus volume.
+
+    Sizing rule (scale-out): total partitions ~ max(parallelism,
+    total_tokens / TOKENS_PER_PARTITION) so every partition's in-memory
+    (term, shard) partial stays bounded; n_shards grows with volume because
+    it bounds head-term skew (largest partial = max_df / n_shards) AND sets
+    query-side scoring parallelism. At 10^12 docs this yields thousands of
+    buckets x hundreds of shards; on the local harness it stays small so
+    fixed per-partition overhead doesn't dominate."""
+    target = max(parallelism, total_tokens // TOKENS_PER_PARTITION + 1)
+    n_shards = max(2, min(256, int(round(target ** 0.5))))
+    n_buckets = max(4, (target + n_shards - 1) // n_shards)
+    return n_buckets, n_shards
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
     index_dir: str,
-    n_buckets: int = 32,
-    n_shards: int = 4,
+    n_buckets: Optional[int] = 32,
+    n_shards: Optional[int] = 4,
     run_id: str = "run0",
     bucket_groups: int = 4,
     fail_after: Optional[str] = None,
@@ -223,21 +242,24 @@ def build_index(
     """Build (or resume building) the index at index_dir.
 
     corpus: (doc_id, url, text) from prepare_corpus().
+    n_buckets/n_shards: None -> auto-sized from corpus volume (_auto_size).
     fail_after: test hook — raise after checkpointing the named stage,
     simulating a mid-build crash for the resume test.
     """
     man = fmt.load_manifest(index_dir)
+    auto = n_buckets is None or n_shards is None
     if man is None or man.complete:
         # fresh build (a complete index is never silently overwritten by
         # resume semantics — caller deletes first for a rebuild)
         if man is not None and man.complete:
             raise ValueError(f"index at {index_dir} already complete")
         man = fmt.IndexManifest(
-            n_buckets=n_buckets, n_shards=n_shards, run_id=run_id
+            n_buckets=n_buckets or 0, n_shards=n_shards or 0, run_id=run_id
         )
         fmt.save_manifest(index_dir, man)
     else:
         n_buckets, n_shards = man.n_buckets, man.n_shards
+        auto = n_buckets == 0  # crashed before doc_stats sized it
 
     def checkpoint(stage: str) -> None:
         man.stages[stage] = True
@@ -265,6 +287,11 @@ def build_index(
         man.n_docs = int(n_docs)
         man.total_tokens = int(total_tokens)
         man.avgdl = man.total_tokens / man.n_docs if man.n_docs else 0.0
+        if auto:
+            n_buckets, n_shards = _auto_size(
+                man.total_tokens, spark.sparkContext.defaultParallelism
+            )
+            man.n_buckets, man.n_shards = n_buckets, n_shards
         _append_metrics(
             spark, index_dir, run_id, "doc_stats", "all", n_docs, 0, 0
         )

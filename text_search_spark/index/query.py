@@ -61,6 +61,7 @@ class IndexReader:
         if m is None or not m.complete:
             raise ValueError(f"no complete index at {index_dir}")
         self.manifest = m
+        self._df_cache: Dict[str, int] = {}
 
     def segments(self) -> DataFrame:
         return self.spark.read.parquet(fmt.segments_dir(self.index_dir))
@@ -72,34 +73,33 @@ class IndexReader:
         return self.spark.read.parquet(fmt.doc_stats_dir(self.index_dir))
 
     def buckets_for(self, terms: Sequence[str]) -> Dict[str, int]:
-        """term -> term_bucket via the same JVM hash used at build time."""
-        if not terms:
-            return {}
-        df = self.spark.createDataFrame(
-            [(t,) for t in sorted(set(terms))], "term string"
-        )
-        rows = df.select(
-            "term",
-            F.pmod(F.xxhash64("term"), F.lit(self.manifest.n_buckets))
-            .cast("int")
-            .alias("b"),
-        ).collect()
-        return {r.term: r.b for r in rows}
+        """term -> term_bucket via a driver-side XXH64 bit-identical to the
+        build's F.xxhash64 (tests/test_xxhash.py) — no Spark job."""
+        from ..functions.xxhash import pmod, xxhash64_str
+
+        nb = self.manifest.n_buckets
+        return {t: pmod(xxhash64_str(t), nb) for t in set(terms)}
 
     def df_for(self, terms: Sequence[str], buckets: Dict[str, int]) -> Dict[str, int]:
-        if not terms:
-            return {}
-        blist = sorted({buckets[t] for t in terms})
-        rows = (
-            self.term_stats()
-            .where(
-                F.col("term_bucket").isin(blist)
-                & F.col("term").isin(list(set(terms)))
+        """Global df per term, summed from the PRUNED segments scan (postings
+        column never read — parquet column pruning), cached per reader."""
+        missing = [t for t in set(terms) if t not in self._df_cache]
+        if missing:
+            blist = sorted({buckets[t] for t in missing})
+            rows = (
+                self.segments()
+                .where(
+                    F.col("term_bucket").isin(blist)
+                    & F.col("term").isin(missing)
+                )
+                .groupBy("term")
+                .agg(F.sum("df_part").alias("df"))
+                .collect()
             )
-            .select("term", "df")
-            .collect()
-        )
-        return {r.term: r.df for r in rows}
+            found = {r.term: int(r.df) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in set(terms)}
 
 
 def _normalize_queries(queries: Sequence[QuerySpec]) -> List[QuerySpec]:
@@ -244,7 +244,7 @@ def bm25_topk_df(
         seq = q.terms if q.mode == "phrase" else None
         plan.append((q.query_id, q.mode, terms, [idf(t) for t in terms], seq))
 
-    hit_terms = [t for t in all_terms if t in dfs]
+    hit_terms = [t for t in all_terms if dfs.get(t, 0) > 0]
     if not plan or not hit_terms:
         return spark.createDataFrame(
             [], "query_id string, rank int, doc_id long, score double"

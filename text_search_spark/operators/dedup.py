@@ -89,27 +89,29 @@ def lsh_candidate_pairs(
     all_bands = bands[0]
     for x in bands[1:]:
         all_bands = all_bands.unionByName(x)
+    # ONE shuffle: group ids per (band, bucket), expand pairs JVM-side
+    # (nested transform — no self-join), then distinct. Bucket cap applies
+    # before the quadratic expansion.
+    grouped = all_bands.groupBy("band", "bucket").agg(
+        F.collect_list("id").alias("ids")
+    )
+    grouped = grouped.where(F.size("ids") >= 2)
     if max_bucket is not None:
-        sized = (
-            all_bands.withColumn(
-                "bsz",
-                F.count("*").over(Window.partitionBy("band", "bucket")),
-            )
-            .where(F.col("bsz") <= max_bucket)
-            .drop("bsz")
+        grouped = grouped.where(F.size("ids") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
         )
-    else:
-        sized = all_bands
-    a = sized.alias("a")
-    b = sized.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
