@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Two-parallelism scaling run (north rule: >=0.8 throughput scaling
+efficiency from N to 4N executors; sandbox proxy per BASELINE.md: the same
+job on the same input at local[8] and local[32]).
+
+Usage:
+  python bench_scaling.py            # parent: runs both levels, prints JSON
+  TSS_SCALE_CORES=8 python bench_scaling.py --child   # one level
+
+The job is the flagship: full inverted-index build over a deterministic
+synthetic Common-Crawl-style corpus (corpus.generate_pages, FIXTURES.md) +
+a 50-query BM25 batch. Each level runs in its own process (fresh JVM) with
+an untimed warmup; levels are interleaved [8,32,8,32] and the best time per
+level is taken (the sandbox VM shows up to 2x run-to-run noise).
+
+The harness also measures the MACHINE's own 8->32 pure-CPU scaling ceiling
+(multiprocessing spin): this VM's 32 "cores" are SMT threads with steal, so
+ideal software cannot exceed that ceiling; efficiency is reported both raw
+and relative to the ceiling.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+N_DOCS = int(os.environ.get("TSS_SCALE_DOCS", "400000"))
+CORPUS_PATH = f"/tmp/tss_scale_corpus_{N_DOCS}.parquet"
+LEVELS = (8, 32)
+RUNS_PER_LEVEL = int(os.environ.get("TSS_SCALE_RUNS", "2"))
+
+
+def ensure_corpus() -> None:
+    if os.path.exists(CORPUS_PATH):
+        return
+    from text_search_spark.corpus import write_pages_parquet
+
+    t0 = time.perf_counter()
+    write_pages_parquet(CORPUS_PATH, N_DOCS)
+    print(
+        f"generated {N_DOCS} pages in {time.perf_counter() - t0:.0f}s",
+        file=sys.stderr,
+    )
+
+
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def machine_ceiling() -> float:
+    """Pure-CPU 8->32 multiprocessing speedup / 4 — the hardware's own
+    scaling efficiency ceiling on this box (SMT threads + steal time)."""
+    def rate(procs: int, n: int = 2_000_000) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.perf_counter()
+            p.map(_spin, [n] * procs * 4)
+            return procs * 4 * n / (time.perf_counter() - t0)
+
+    lo, hi = LEVELS
+    return round((rate(hi) / rate(lo)) / (hi / lo), 3)
+
+
+def child(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from text_search_spark.index import format as ixfmt
+    from text_search_spark.index.build import build_index, prepare_corpus
+    from text_search_spark.index.query import (
+        IndexReader,
+        QuerySpec,
+        bm25_topk_df,
+    )
+    from text_search_spark.session import get_spark
+
+    spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(CORPUS_PATH)
+    corpus = prepare_corpus(pages, url_col="url")
+
+    # warmup: tiny build + query (codegen, worker spawn)
+    warm = f"/tmp/tss_scale_warm_{cores}"
+    shutil.rmtree(warm, ignore_errors=True)
+    build_index(
+        spark,
+        prepare_corpus(pages.limit(200), url_col="url"),
+        warm,
+        n_buckets=4,
+        n_shards=2,
+        bucket_groups=1,
+    )
+    bm25_topk_df(spark, warm, [QuerySpec("w", ["the"], "or")], k=5).collect()
+    shutil.rmtree(warm, ignore_errors=True)
+
+    ix = f"/tmp/tss_scale_ix_{cores}"
+    shutil.rmtree(ix, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        spark, corpus, ix, n_buckets=None, n_shards=None, bucket_groups=1
+    )
+    build_s = time.perf_counter() - t0
+
+    ts = spark.read.parquet(ixfmt.term_stats_dir(ix))
+    terms = [
+        r.term
+        for r in ts.where(F.length("term") >= 5)
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .collect()
+    ]
+    specs = [QuerySpec(f"q{i}", [t], "or") for i, t in enumerate(terms)]
+    reader = IndexReader(spark, ix)
+    t0 = time.perf_counter()
+    bm25_topk_df(spark, ix, specs, k=10, reader=reader).collect()
+    query_s = time.perf_counter() - t0
+
+    man = ixfmt.load_manifest(ix)
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "build_s": round(build_s, 3),
+                "docs_per_s": round(N_DOCS / build_s, 1),
+                "query50_s": round(query_s, 3),
+                "n_buckets": man.n_buckets,
+                "n_shards": man.n_shards,
+                "total_tokens": man.total_tokens,
+            }
+        )
+    )
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        child(int(os.environ["TSS_SCALE_CORES"]))
+        return
+    ensure_corpus()
+    best: dict = {}
+    order = [c for _ in range(RUNS_PER_LEVEL) for c in LEVELS]
+    for cores in order:
+        env = dict(os.environ, TSS_SCALE_CORES=str(cores))
+        out = subprocess.run(
+            [sys.executable, __file__, "--child"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                r = json.loads(line[len("CHILD_RESULT ") :])
+                if (
+                    cores not in best
+                    or r["build_s"] < best[cores]["build_s"]
+                ):
+                    best[cores] = r
+    lo, hi = LEVELS
+    ceiling = machine_ceiling()
+    tp_lo, tp_hi = best[lo]["docs_per_s"], best[hi]["docs_per_s"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build scaling efficiency local[8]->local[32]",
+                "n_docs": N_DOCS,
+                "levels": best,
+                "speedup": round(tp_hi / tp_lo, 3),
+                "scaling_efficiency": round(eff, 3),
+                "machine_cpu_ceiling": ceiling,
+                "efficiency_vs_machine_ceiling": round(eff / ceiling, 3),
+                "query_batch_speedup": round(
+                    best[lo]["query50_s"] / best[hi]["query50_s"], 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,11 +35,13 @@ B = 0.75
 _BM_DTYPE = np.dtype([("last_doc", "<u8"), ("max_sat", "<f4")])
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte (7 bits/byte, high bit = continuation)."""
+def varbyte_encode_with_sizes(values: np.ndarray):
+    """Vectorized varbyte encode -> (bytes, per-value byte counts int64).
+    The sizes array lets a caller that encoded MANY posting lists in one
+    pass slice the output buffer per list (see build.py's segment builder)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -60,7 +62,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         rem[active] >>= np.uint64(7)
         active = active[more]
         k += 1
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte (7 bits/byte, high bit = continuation)."""
+    return varbyte_encode_with_sizes(values)[0]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

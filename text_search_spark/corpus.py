@@ -139,7 +139,11 @@ def pages_to_pandas(pages: List[Page]):
     )
 
 
-def write_pages_parquet(path: str, n_docs: int, seed: int = SEED) -> None:
+def write_pages_parquet(
+    path: str, n_docs: int, seed: int = SEED, row_group_size: int = 2000
+) -> None:
+    """Small row groups so Spark can split the file across tasks (a single
+    row-group parquet is unsplittable -> serial scan)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -153,7 +157,11 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = SEED) -> None:
             ("lang", pa.string()),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema), path)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema),
+        path,
+        row_group_size=row_group_size,
+    )
 
 
 # ---------------------------------------------------------------------------

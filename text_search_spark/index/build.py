@@ -42,7 +42,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codec import encode_blockmax, encode_postings_flat
 from ..textnorm import spark_tokens
 from . import format as fmt
 
@@ -100,79 +99,168 @@ def check_doc_id_unique(corpus: DataFrame) -> None:
         raise ValueError(f"doc_id collision: {n} rows, {nd} distinct doc_ids")
 
 
+_SEG_COLS = [
+    "term_bucket",
+    "term",
+    "shard",
+    "df_part",
+    "cf_part",
+    "postings",
+    "blockmax",
+]
+
+# builder chunk size: rows buffered before a vectorized flush. The sizing
+# rule (TOKENS_PER_PARTITION) keeps whole partitions near this anyway; the
+# chunking is the safety net for oversized partitions.
+_CHUNK_ROWS = 4_000_000
+
+
+def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+    """Fully vectorized segment build for a sorted chunk containing only
+    COMPLETE (term, shard) groups: one varbyte pass for the whole chunk,
+    per-group cost reduced to a byte-slice. No per-row or per-group Python
+    beyond the final output assembly."""
+    from ..codec import (
+        _BM_DTYPE,
+        BLOCK,
+        tf_saturation,
+        varbyte_encode_with_sizes,
+    )
+
+    term = batch["term"].to_numpy()
+    shard = batch["shard"].to_numpy(np.int64)
+    doc_id = batch["doc_id"].to_numpy(np.int64)
+    doc_len = batch["doc_len"].to_numpy(np.int64)
+    pos = batch["pos"].to_numpy(np.int64)
+    bucket = batch["term_bucket"].to_numpy(np.int64)
+    n = doc_id.size
+
+    codes = pd.factorize(term, sort=False)[0].astype(np.int64)
+    gchange = np.concatenate(
+        [[True], (codes[1:] != codes[:-1]) | (shard[1:] != shard[:-1])]
+    )
+    dchange = gchange | np.concatenate([[True], doc_id[1:] != doc_id[:-1]])
+
+    g_start_rows = np.flatnonzero(gchange)  # row index of each group start
+    G = g_start_rows.size
+    rows_per_g = np.diff(np.append(g_start_rows, n))
+
+    drun_starts = np.flatnonzero(dchange)  # row index of each (g, doc) run
+    udocs = doc_id[drun_starts]
+    dls = doc_len[drun_starts]
+    tfs = np.diff(np.append(drun_starts, n))
+    R = drun_starts.size
+
+    # group id per doc-run / per row
+    grp_of_run = np.searchsorted(g_start_rows, drun_starts, side="right") - 1
+    nd = np.bincount(grp_of_run, minlength=G)  # docs per group
+    run_g_start = np.concatenate([[0], np.cumsum(nd)])  # run idx per group
+    run_rank = np.arange(R) - run_g_start[grp_of_run]
+    row_grp = np.repeat(np.arange(G), rows_per_g)
+    row_rank = np.arange(n) - np.repeat(g_start_rows, rows_per_g)
+
+    # gaps (reset at group / doc-run starts)
+    doc_gaps = udocs.copy()
+    doc_gaps[1:] = udocs[1:] - udocs[:-1]
+    first_run = run_g_start[:-1]  # first doc-run index of each group
+    doc_gaps[first_run] = udocs[first_run]
+    pos_gaps = pos.copy()
+    pos_gaps[1:] = pos[1:] - pos[:-1]
+    pos_gaps[drun_starts] = pos[drun_starts]
+
+    # stream layout per group: [nd, doc_gaps..., tfs..., dls..., pos_gaps...]
+    slen = 1 + 3 * nd + rows_per_g
+    off = np.concatenate([[0], np.cumsum(slen)])
+    stream = np.empty(off[-1], dtype=np.uint64)
+    stream[off[:-1]] = nd.astype(np.uint64)
+    base = off[grp_of_run] + 1
+    stream[base + run_rank] = doc_gaps.astype(np.uint64)
+    stream[base + nd[grp_of_run] + run_rank] = tfs.astype(np.uint64)
+    stream[base + 2 * nd[grp_of_run] + run_rank] = dls.astype(np.uint64)
+    stream[off[row_grp] + 1 + 3 * nd[row_grp] + row_rank] = pos_gaps.astype(
+        np.uint64
+    )
+
+    buf, nbytes = varbyte_encode_with_sizes(stream)
+    byte_off = np.concatenate([[0], np.cumsum(nbytes)])
+    g_byte_start = byte_off[off[:-1]]
+    g_byte_end = byte_off[off[1:]]
+
+    # block-max sidecar, batched: one reduceat over all groups' blocks
+    sat = tf_saturation(tfs, dls, avgdl).astype(np.float32)
+    nblocks = (nd + BLOCK - 1) // BLOCK
+    TB = int(nblocks.sum())
+    blk_grp = np.repeat(np.arange(G), nblocks)
+    blk_off = np.concatenate([[0], np.cumsum(nblocks)])
+    blk_rank = np.arange(TB) - blk_off[blk_grp]
+    blk_start_run = run_g_start[blk_grp] + blk_rank * BLOCK
+    blk_end_run = np.minimum(
+        blk_start_run + BLOCK, run_g_start[blk_grp] + nd[blk_grp]
+    )
+    bm = np.empty(TB, dtype=_BM_DTYPE)
+    if TB:
+        bm["max_sat"] = np.maximum.reduceat(sat, blk_start_run)
+        bm["last_doc"] = udocs[blk_end_run - 1].astype(np.uint64)
+    bm_bytes = bm.tobytes()
+    bm_item = _BM_DTYPE.itemsize
+    bm_start = blk_off[:-1] * bm_item
+    bm_end = blk_off[1:] * bm_item
+
+    return pd.DataFrame(
+        {
+            "term_bucket": bucket[g_start_rows].astype(np.int32),
+            "term": term[g_start_rows],
+            "shard": shard[g_start_rows].astype(np.int32),
+            "df_part": nd.astype(np.int64),
+            "cf_part": rows_per_g.astype(np.int64),
+            "postings": [
+                buf[s:e] for s, e in zip(g_byte_start, g_byte_end)
+            ],
+            "blockmax": [
+                bm_bytes[s:e] for s, e in zip(bm_start, bm_end)
+            ],
+        }
+    )
+
+
 def _segment_builder(avgdl: float):
     """Streaming mapInPandas fn: sorted (term_bucket, shard, term, doc_id,
-    doc_len, pos) rows -> one segment row per (term, shard) group."""
+    doc_len, pos) rows -> one segment row per (term, shard) group.
+    Accumulates Arrow batches into chunks, holds back the possibly-
+    incomplete trailing group, and flushes each chunk vectorized."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hold: Optional[pd.DataFrame] = None
-        out_rows: List[tuple] = []
-
-        def flush_group(g: pd.DataFrame) -> None:
-            doc_id = g["doc_id"].to_numpy(np.int64)
-            pos = g["pos"].to_numpy(np.int64)
-            dlen = g["doc_len"].to_numpy(np.int64)
-            # consecutive-run grouping (input sorted by doc_id, pos)
-            starts = np.flatnonzero(
-                np.concatenate([[True], doc_id[1:] != doc_id[:-1]])
-            )
-            udocs = doc_id[starts]
-            tfs = np.diff(np.concatenate([starts, [doc_id.size]]))
-            dls = dlen[starts]
-            postings = encode_postings_flat(udocs, tfs, pos, dls)
-            blockmax = encode_blockmax(udocs, tfs, dls, avgdl)
-            out_rows.append(
-                (
-                    int(g["term_bucket"].iat[0]),
-                    g["term"].iat[0],
-                    int(g["shard"].iat[0]),
-                    int(udocs.size),
-                    int(doc_id.size),
-                    postings,
-                    blockmax,
-                )
-            )
-
-        def drain() -> pd.DataFrame:
-            nonlocal out_rows
-            df = pd.DataFrame(
-                out_rows,
-                columns=[
-                    "term_bucket",
-                    "term",
-                    "shard",
-                    "df_part",
-                    "cf_part",
-                    "postings",
-                    "blockmax",
-                ],
-            )
-            out_rows = []
-            return df
-
+        pending: List[pd.DataFrame] = []
+        pending_rows = 0
         for batch in batches:
-            if hold is not None and len(hold):
-                batch = pd.concat([hold, batch], ignore_index=True)
             if not len(batch):
-                hold = None
                 continue
-            codes, _ = pd.factorize(batch["term"], sort=False)
-            gkey = codes.astype(np.int64) * 1_000_003 + batch[
-                "shard"
-            ].to_numpy(np.int64)
-            change = np.flatnonzero(
-                np.concatenate([[True], gkey[1:] != gkey[:-1]])
-            )
-            # last group may continue into the next batch -> hold it back
-            for s, e in zip(change[:-1], change[1:]):
-                flush_group(batch.iloc[s:e])
-            hold = batch.iloc[change[-1] :].copy()
-            if len(out_rows) >= 256:
-                yield drain()
-        if hold is not None and len(hold):
-            flush_group(hold)
-        if out_rows:
-            yield drain()
+            pending.append(batch)
+            pending_rows += len(batch)
+            if pending_rows >= _CHUNK_ROWS:
+                chunk = pd.concat(pending, ignore_index=True)
+                # hold back the trailing (possibly incomplete) group
+                t = chunk["term"].to_numpy()
+                sh = chunk["shard"].to_numpy()
+                last_start = int(
+                    np.flatnonzero(
+                        np.concatenate(
+                            [
+                                [True],
+                                (t[1:] != t[:-1]) | (sh[1:] != sh[:-1]),
+                            ]
+                        )
+                    )[-1]
+                )
+                if last_start > 0:
+                    yield _build_chunk(chunk.iloc[:last_start], avgdl)
+                    pending = [chunk.iloc[last_start:]]
+                else:
+                    pending = [chunk]
+                pending_rows = len(pending[0])
+        if pending_rows:
+            chunk = pd.concat(pending, ignore_index=True)
+            yield _build_chunk(chunk, avgdl)
 
     return build
 
@@ -269,6 +357,14 @@ def build_index(
 
     tokens_path = os.path.join(index_dir, TOKENS_TMP)
 
+    # Unsplittable input guard: a corpus arriving in fewer partitions than
+    # cores (e.g. one single-row-group parquet file) would serialize the
+    # tokenize stages. One narrow-ish shuffle here keeps every downstream
+    # scan parallel; at real scale (many input files) the branch is skipped.
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < max(2, par // 2):
+        corpus = corpus.repartition(par)
+
     # ---- stage: doc_stats (scan 1: tokenize-count only, no explode) ----
     if not man.stages.get("doc_stats"):
         (
@@ -297,13 +393,9 @@ def build_index(
         )
         checkpoint("doc_stats")
 
-    # ---- stage: tokens_tmp (scan 2: explode + the ONE big shuffle) ----
-    if not man.stages.get("tokens"):
+    def exploded_tokens() -> DataFrame:
         tokens = (
-            corpus.select(
-                "doc_id",
-                F.col("text"),
-            )
+            corpus.select("doc_id", F.col("text"))
             .select(
                 "doc_id",
                 F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
@@ -322,9 +414,17 @@ def build_index(
         doc_lens = spark.read.parquet(fmt.doc_stats_dir(index_dir)).select(
             "doc_id", "doc_len"
         )
-        tokens = tokens.join(doc_lens.hint("broadcast"), "doc_id")
+        return tokens.join(doc_lens.hint("broadcast"), "doc_id")
+
+    # ---- stage: tokens_tmp (explode materialized ONLY when the segment
+    # stage is split into multiple resumable units — a single-unit build
+    # fuses explode -> shuffle -> sort -> build into one job instead of
+    # paying a full write+read of the exploded relation) ----
+    materialize = bucket_groups > 1
+    if materialize and not man.stages.get("tokens"):
         (
-            tokens.repartition(
+            exploded_tokens()
+            .repartition(
                 max(n_buckets, spark.sparkContext.defaultParallelism),
                 "term_bucket",
                 "shard",
@@ -348,9 +448,12 @@ def build_index(
         stage_name = f"segments:{gi}"
         if man.stages.get(stage_name):
             continue
-        toks = spark.read.parquet(tokens_path).where(
-            F.col("term_bucket").isin(buckets)  # partition-pruned scan
-        )
+        if materialize:
+            toks = spark.read.parquet(tokens_path).where(
+                F.col("term_bucket").isin(buckets)  # partition-pruned scan
+            )
+        else:
+            toks = exploded_tokens()
         seg = (
             toks.repartition(
                 max(len(buckets) * n_shards, 1), "term_bucket", "shard"
