@@ -278,6 +278,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf_dir, "documents")
     )
 
+    # ---- chunk split/merge round trip (SURVEY §2.3 J7, §2.8) ----
+    def chunk_roundtrip(spark, sf_dir):
+        from text_search_spark.operators.chunks import (
+            merge_chunks,
+            split_chunks,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        toks = d.select(
+            F.col("doc_id").alias("id"),
+            spark_tokens(F.col("text")).alias("tokens"),
+        ).withColumn(
+            "times",
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.lit(1), F.size("tokens"))
+                ),
+                lambda i: (i - 1).cast("double"),
+            ),
+        ).withColumn("times", F.slice("times", 1, F.size("tokens")))
+        merged = merge_chunks(split_chunks(toks, window=50, extra=5))
+        return merged.select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.array_join("merged_terms", " ")).alias("merged_fp"),
+        )
+
+    q["chunk_roundtrip"] = chunk_roundtrip
+
     # ---- windowed / interval ops over events (SURVEY §2.4 A4, §2.3 J6) --
     def events_window(spark, sf_dir):
         e = _t(spark, sf_dir, "events")
@@ -648,6 +676,14 @@ SELECT d.doc_id, md5(coalesce(j.norm, '')) AS fp, m.min_shingle
 FROM documents d
 LEFT JOIN joined j ON d.doc_id = j.doc_id
 LEFT JOIN minsh m ON d.doc_id = m.doc_id
+"""
+
+    o["chunk_roundtrip"] = f"""
+WITH {_TOKS},
+joined AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS norm
+           FROM toks GROUP BY doc_id)
+SELECT d.doc_id, md5(coalesce(j.norm, '')) AS merged_fp
+FROM documents d LEFT JOIN joined j ON d.doc_id = j.doc_id
 """
 
     o["events_window"] = """
