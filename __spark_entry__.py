@@ -53,7 +53,11 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the inverted index over documents(doc_id, text)."""
     d = _index_dir_for(sf_dir)
     man = ixfmt.load_manifest(d)
-    if man is None or not man.complete:
+    if (
+        man is None
+        or not man.complete
+        or man.format_version != ixfmt.FORMAT_VERSION
+    ):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)

@@ -92,3 +92,75 @@ def test_blockmax_is_upper_bound():
         assert last_doc[bi] == doc_ids[e - 1]
         # float32 storage: bound must still dominate (within eps)
         assert max_sat[bi] >= sat[s:e].max() * (1 - 1e-6)
+
+
+# ---------------- v2 block-skippable codec ----------------
+
+from text_search_spark.codec import (  # noqa: E402
+    block_header,
+    decode_block_postings,
+    decode_positions,
+    decode_selected_blocks,
+    encode_block_postings,
+    encode_positions,
+)
+
+
+def test_block_postings_roundtrip():
+    rng = np.random.default_rng(21)
+    for n in [1, 5, 127, 128, 129, 1000, 5000]:
+        doc_ids = np.sort(rng.choice(10**8, size=n, replace=False)).astype(
+            np.int64
+        )
+        tfs = rng.integers(1, 50, size=n).astype(np.int64)
+        dls = rng.integers(8, 2048, size=n).astype(np.int64)
+        buf = encode_block_postings(doc_ids, tfs, dls)
+        d, t, l = decode_block_postings(buf)
+        assert (d == doc_ids).all() and (t == tfs).all() and (l == dls).all()
+
+
+def test_selected_blocks_decode():
+    rng = np.random.default_rng(22)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**8, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=n).astype(np.int64)
+    dls = rng.integers(8, 2048, size=n).astype(np.int64)
+    buf = encode_block_postings(doc_ids, tfs, dls)
+    from text_search_spark.codec import BLOCK, encode_blockmax, decode_blockmax
+
+    bm = encode_blockmax(doc_ids, tfs, dls, 100.0)
+    last_doc, _ = decode_blockmax(bm)
+    nb = last_doc.size
+    sel = np.array([0, 3, nb - 1])
+    bases = np.where(sel > 0, last_doc[np.maximum(sel - 1, 0)], 0)
+    d, t, l = decode_selected_blocks(buf, sel, bases)
+    exp_idx = np.concatenate(
+        [np.arange(s * BLOCK, min((s + 1) * BLOCK, n)) for s in sel]
+    )
+    assert (d == doc_ids[exp_idx]).all()
+    assert (t == tfs[exp_idx]).all() and (l == dls[exp_idx]).all()
+
+
+def test_positions_sidecar_roundtrip():
+    rng = np.random.default_rng(23)
+    tfs = rng.integers(1, 8, size=500).astype(np.int64)
+    flat = np.concatenate(
+        [np.sort(rng.choice(3000, size=int(t), replace=False)) for t in tfs]
+    ).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    gaps = flat.copy()
+    gaps[1:] = flat[1:] - flat[:-1]
+    gaps[starts] = flat[starts]
+    buf = encode_positions(gaps)
+    out = decode_positions(buf, tfs)
+    assert (out == flat).all()
+
+
+def test_block_header():
+    doc_ids = np.arange(1, 300, dtype=np.int64) * 7
+    tfs = np.ones(299, dtype=np.int64)
+    dls = np.full(299, 10, dtype=np.int64)
+    buf = encode_block_postings(doc_ids, tfs, dls)
+    n, nd_b, byte_off, base = block_header(buf)
+    assert n == 299
+    assert nd_b.tolist() == [128, 128, 43]

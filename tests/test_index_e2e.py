@@ -110,3 +110,18 @@ def test_missing_terms_and_empty_query(spark, built):
     ]
     rows = bm25_topk_df(spark, index_dir, specs, k=5).collect()
     assert rows == []
+
+
+def test_pruned_equals_unpruned(spark, built):
+    """Block-max MaxScore pruning must not change ANY result (exact top-k)."""
+    index_dir, _, _ = built
+    queries = generate_queries()
+    specs = [QuerySpec(q.query_id, q.terms, q.mode) for q in queries]
+
+    def rows(prune):
+        out = bm25_topk_df(spark, index_dir, specs, k=10, prune=prune)
+        return sorted(
+            (r.query_id, r.rank, r.doc_id, r.score) for r in out.collect()
+        )
+
+    assert rows(True) == rows(False)

@@ -220,3 +220,130 @@ def encode_blockmax(
 def decode_blockmax(buf: bytes) -> Tuple[np.ndarray, np.ndarray]:
     arr = np.frombuffer(buf, dtype=_BM_DTYPE)
     return arr["last_doc"].astype(np.int64), arr["max_sat"].copy()
+
+
+# ---------------------------------------------------------------------------
+# v2 block-skippable postings: the query engine's physical format.
+#
+#   prefix : u32 n_docs, u32 n_blocks            (little-endian, fixed)
+#   header : per block (u16 nd, u32 nbytes)      (fixed-width directory)
+#   payload: per block, varbyte values [doc_gap*nd, tf*nd, dl*nd]
+#
+# doc_gap semantics: plain delta from the previous doc overall (first doc
+# of the list is absolute). A block decodes INDEPENDENTLY because the
+# block-max sidecar stores the previous block's last_doc as the base.
+# Positions live in a SEPARATE column (encode_positions) so OR/AND scoring
+# never reads position bytes — they typically dominate the index size.
+# The fixed-width directory is what makes block-max MaxScore/WAND able to
+# skip decoding blocks it proves can't reach the top-k (query.py).
+# ---------------------------------------------------------------------------
+
+_PREFIX_DTYPE = np.dtype([("n_docs", "<u4"), ("n_blocks", "<u4")])
+_HDR_DTYPE = np.dtype([("nd", "<u2"), ("nbytes", "<u4")])
+
+
+def encode_block_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray
+) -> bytes:
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    n = doc_ids.size
+    nb = (n + BLOCK - 1) // BLOCK
+    gaps = np.diff(doc_ids, prepend=0).astype(np.uint64)
+    # value stream: per block [gaps, tfs, dls]
+    vals = np.empty(3 * n, dtype=np.uint64)
+    nd_b = np.minimum(BLOCK, n - np.arange(nb) * BLOCK)
+    v_off = np.concatenate([[0], np.cumsum(3 * nd_b)])
+    idx = np.arange(n)
+    bb = idx // BLOCK
+    rb = idx % BLOCK
+    base = v_off[bb]
+    vals[base + rb] = gaps
+    vals[base + nd_b[bb] + rb] = tfs.astype(np.uint64)
+    vals[base + 2 * nd_b[bb] + rb] = doc_lens.astype(np.uint64)
+    payload, sizes = varbyte_encode_with_sizes(vals)
+    nbytes_b = (
+        np.add.reduceat(sizes, v_off[:-1]) if n else np.empty(0, np.int64)
+    )
+    prefix = np.array([(n, nb)], dtype=_PREFIX_DTYPE)
+    hdr = np.empty(nb, dtype=_HDR_DTYPE)
+    hdr["nd"] = nd_b
+    hdr["nbytes"] = nbytes_b
+    return prefix.tobytes() + hdr.tobytes() + payload
+
+
+def block_header(buf: bytes):
+    """-> (n_docs, nd per block, payload byte offset per block, payload_base)."""
+    n, nb = np.frombuffer(buf, dtype=_PREFIX_DTYPE, count=1)[0]
+    hdr = np.frombuffer(buf, dtype=_HDR_DTYPE, count=int(nb), offset=8)
+    nd_b = hdr["nd"].astype(np.int64)
+    byte_off = np.concatenate([[0], np.cumsum(hdr["nbytes"].astype(np.int64))])
+    return int(n), nd_b, byte_off, 8 + _HDR_DTYPE.itemsize * int(nb)
+
+
+def decode_block_postings(buf: bytes):
+    """Full decode -> (doc_ids, tfs, dls) int64."""
+    n, nd_b, byte_off, base = block_header(buf)
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), e.copy()
+    vals = varbyte_decode(buf[base:])
+    v_off = np.concatenate([[0], np.cumsum(3 * nd_b)])
+    nb = nd_b.size
+    idx = np.arange(n)
+    bb = idx // BLOCK
+    rb = idx % BLOCK
+    vb = v_off[bb]
+    gaps = vals[vb + rb].astype(np.int64)
+    tfs = vals[vb + nd_b[bb] + rb].astype(np.int64)
+    dls = vals[vb + 2 * nd_b[bb] + rb].astype(np.int64)
+    return np.cumsum(gaps), tfs, dls
+
+
+def decode_selected_blocks(buf: bytes, sel: np.ndarray, bases: np.ndarray):
+    """Decode only blocks in `sel` (sorted block indices). `bases[i]` is the
+    doc_id base of block sel[i] (previous block's last_doc from the
+    block-max sidecar; 0 for block 0). -> (doc_ids, tfs, dls)."""
+    n, nd_b, byte_off, base = block_header(buf)
+    sel = np.asarray(sel, dtype=np.int64)
+    if sel.size == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), e.copy()
+    chunks = [buf[base + byte_off[b] : base + byte_off[b + 1]] for b in sel]
+    vals = varbyte_decode(b"".join(chunks))
+    nd_s = nd_b[sel]
+    total = int(nd_s.sum())
+    v_off = np.concatenate([[0], np.cumsum(3 * nd_s)])
+    seg_id = np.repeat(np.arange(sel.size), nd_s)
+    rank = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(nd_s)])[:-1], nd_s
+    )
+    vb = v_off[seg_id]
+    gaps = vals[vb + rank].astype(np.int64)
+    tfs = vals[vb + nd_s[seg_id] + rank].astype(np.int64)
+    dls = vals[vb + 2 * nd_s[seg_id] + rank].astype(np.int64)
+    # per-block cumsum with sidecar bases
+    starts = np.concatenate([[0], np.cumsum(nd_s)])[:-1]
+    doc_ids = _segment_cumsum(gaps, starts) + np.repeat(
+        np.asarray(bases, dtype=np.int64), nd_s
+    )
+    return doc_ids, tfs, dls
+
+
+def encode_positions(flat_pos_gaps: np.ndarray) -> bytes:
+    """Positions sidecar: varbyte of per-doc position gaps (first of each
+    doc absolute). Boundaries come from the postings' tfs at decode time."""
+    return varbyte_encode(np.asarray(flat_pos_gaps, dtype=np.uint64))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """-> flat positions (int64), per-doc ascending; len == tfs.sum()."""
+    gaps = varbyte_decode(buf).astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = (
+        np.concatenate([[0], np.cumsum(tfs)[:-1]])
+        if tfs.size
+        else np.empty(0, np.int64)
+    )
+    return _segment_cumsum(gaps, starts.astype(np.int64))

@@ -99,16 +99,6 @@ def check_doc_id_unique(corpus: DataFrame) -> None:
         raise ValueError(f"doc_id collision: {n} rows, {nd} distinct doc_ids")
 
 
-_SEG_COLS = [
-    "term_bucket",
-    "term",
-    "shard",
-    "df_part",
-    "cf_part",
-    "postings",
-    "blockmax",
-]
-
 # builder chunk size: rows buffered before a vectorized flush. The sizing
 # rule (TOKENS_PER_PARTITION) keeps whole partitions near this anyway; the
 # chunking is the safety net for oversized partitions.
@@ -117,11 +107,15 @@ _CHUNK_ROWS = 4_000_000
 
 def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     """Fully vectorized segment build for a sorted chunk containing only
-    COMPLETE (term, shard) groups: one varbyte pass for the whole chunk,
-    per-group cost reduced to a byte-slice. No per-row or per-group Python
-    beyond the final output assembly."""
+    COMPLETE (term, shard) groups — emits the v2 block-skippable format
+    (codec.py): block-structured postings (doc/tf/dl), a SEPARATE positions
+    sidecar (scoring never reads position bytes), and the block-max
+    directory. One varbyte pass for the whole chunk; per-group cost is a
+    byte-slice + small header assembly."""
     from ..codec import (
         _BM_DTYPE,
+        _HDR_DTYPE,
+        _PREFIX_DTYPE,
         BLOCK,
         tf_saturation,
         varbyte_encode_with_sizes,
@@ -156,10 +150,9 @@ def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     nd = np.bincount(grp_of_run, minlength=G)  # docs per group
     run_g_start = np.concatenate([[0], np.cumsum(nd)])  # run idx per group
     run_rank = np.arange(R) - run_g_start[grp_of_run]
-    row_grp = np.repeat(np.arange(G), rows_per_g)
-    row_rank = np.arange(n) - np.repeat(g_start_rows, rows_per_g)
 
-    # gaps (reset at group / doc-run starts)
+    # doc gaps: plain delta, absolute at each group's first doc (block-
+    # boundary decode bases come from the block-max sidecar's last_doc)
     doc_gaps = udocs.copy()
     doc_gaps[1:] = udocs[1:] - udocs[:-1]
     first_run = run_g_start[:-1]  # first doc-run index of each group
@@ -168,32 +161,60 @@ def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     pos_gaps[1:] = pos[1:] - pos[:-1]
     pos_gaps[drun_starts] = pos[drun_starts]
 
-    # stream layout per group: [nd, doc_gaps..., tfs..., dls..., pos_gaps...]
-    slen = 1 + 3 * nd + rows_per_g
-    off = np.concatenate([[0], np.cumsum(slen)])
-    stream = np.empty(off[-1], dtype=np.uint64)
-    stream[off[:-1]] = nd.astype(np.uint64)
-    base = off[grp_of_run] + 1
-    stream[base + run_rank] = doc_gaps.astype(np.uint64)
-    stream[base + nd[grp_of_run] + run_rank] = tfs.astype(np.uint64)
-    stream[base + 2 * nd[grp_of_run] + run_rank] = dls.astype(np.uint64)
-    stream[off[row_grp] + 1 + 3 * nd[row_grp] + row_rank] = pos_gaps.astype(
-        np.uint64
-    )
-
-    buf, nbytes = varbyte_encode_with_sizes(stream)
-    byte_off = np.concatenate([[0], np.cumsum(nbytes)])
-    g_byte_start = byte_off[off[:-1]]
-    g_byte_end = byte_off[off[1:]]
-
-    # block-max sidecar, batched: one reduceat over all groups' blocks
-    sat = tf_saturation(tfs, dls, avgdl).astype(np.float32)
+    # ---- blocks (globally numbered, groups contiguous) ----
     nblocks = (nd + BLOCK - 1) // BLOCK
     TB = int(nblocks.sum())
     blk_grp = np.repeat(np.arange(G), nblocks)
     blk_off = np.concatenate([[0], np.cumsum(nblocks)])
     blk_rank = np.arange(TB) - blk_off[blk_grp]
+    nd_blk = np.minimum(BLOCK, nd[blk_grp] - blk_rank * BLOCK)
     blk_start_run = run_g_start[blk_grp] + blk_rank * BLOCK
+
+    # ---- postings value stream: per block [gaps, tfs, dls] ----
+    v_off = np.concatenate([[0], np.cumsum(3 * nd_blk)])
+    kb = blk_off[grp_of_run] + run_rank // BLOCK  # global block per run
+    rb = run_rank % BLOCK
+    vals = np.empty(int(v_off[-1]), dtype=np.uint64)
+    vb = v_off[kb]
+    vals[vb + rb] = doc_gaps.astype(np.uint64)
+    vals[vb + nd_blk[kb] + rb] = tfs.astype(np.uint64)
+    vals[vb + 2 * nd_blk[kb] + rb] = dls.astype(np.uint64)
+    pbuf, psizes = varbyte_encode_with_sizes(vals)
+    blk_nbytes = (
+        np.add.reduceat(psizes, v_off[:-1]) if TB else np.empty(0, np.int64)
+    )
+    blk_byte_off = np.concatenate([[0], np.cumsum(blk_nbytes)])
+    g_pay_start = blk_byte_off[blk_off[:-1]]
+    g_pay_end = blk_byte_off[blk_off[1:]]
+    hdr = np.empty(TB, dtype=_HDR_DTYPE)
+    hdr["nd"] = nd_blk
+    hdr["nbytes"] = blk_nbytes
+    hdr_bytes = hdr.tobytes()
+    hsz = _HDR_DTYPE.itemsize
+    prefixes = np.empty(G, dtype=_PREFIX_DTYPE)
+    prefixes["n_docs"] = nd
+    prefixes["n_blocks"] = nblocks
+    pfx_bytes = prefixes.tobytes()
+    psz = _PREFIX_DTYPE.itemsize
+
+    postings_col = [
+        pfx_bytes[g * psz : (g + 1) * psz]
+        + hdr_bytes[blk_off[g] * hsz : blk_off[g + 1] * hsz]
+        + pbuf[g_pay_start[g] : g_pay_end[g]]
+        for g in range(G)
+    ]
+
+    # ---- positions sidecar (row order == group order) ----
+    qbuf, qsizes = varbyte_encode_with_sizes(pos_gaps.astype(np.uint64))
+    q_byte_off = np.concatenate([[0], np.cumsum(qsizes)])
+    g_pos_start = q_byte_off[g_start_rows]
+    g_pos_end = q_byte_off[np.append(g_start_rows[1:], n)]
+    positions_col = [
+        qbuf[s:e] for s, e in zip(g_pos_start, g_pos_end)
+    ]
+
+    # ---- block-max sidecar ----
+    sat = tf_saturation(tfs, dls, avgdl).astype(np.float32)
     blk_end_run = np.minimum(
         blk_start_run + BLOCK, run_g_start[blk_grp] + nd[blk_grp]
     )
@@ -213,12 +234,10 @@ def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
             "shard": shard[g_start_rows].astype(np.int32),
             "df_part": nd.astype(np.int64),
             "cf_part": rows_per_g.astype(np.int64),
-            "postings": [
-                buf[s:e] for s, e in zip(g_byte_start, g_byte_end)
-            ],
-            "blockmax": [
-                bm_bytes[s:e] for s, e in zip(bm_start, bm_end)
-            ],
+            "postings": postings_col,
+            "positions": positions_col,
+            "blockmax": [bm_bytes[s:e] for s, e in zip(bm_start, bm_end)],
+            "bm_avgdl": np.full(G, avgdl, dtype=np.float64),
         }
     )
 
@@ -342,7 +361,10 @@ def build_index(
         if man is not None and man.complete:
             raise ValueError(f"index at {index_dir} already complete")
         man = fmt.IndexManifest(
-            n_buckets=n_buckets or 0, n_shards=n_shards or 0, run_id=run_id
+            format_version=fmt.FORMAT_VERSION,
+            n_buckets=n_buckets or 0,
+            n_shards=n_shards or 0,
+            run_id=run_id,
         )
         fmt.save_manifest(index_dir, man)
     else:
@@ -441,7 +463,8 @@ def build_index(
     ]
     seg_schema = (
         "term_bucket int, term string, shard int, df_part long, "
-        "cf_part long, postings binary, blockmax binary"
+        "cf_part long, postings binary, positions binary, "
+        "blockmax binary, bm_avgdl double"
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for gi, buckets in enumerate(groups):

@@ -5,7 +5,9 @@ directory partitioning, an explicit JSON manifest committed last as the
 atomicity point, and an append-only metrics table for lineage):
 
   segments/term_bucket=NN/   (term string, shard int, df_part long,
-                              cf_part long, postings binary, blockmax binary)
+                              cf_part long, postings binary,
+                              positions binary, blockmax binary,
+                              bm_avgdl double)
       doc-sharded-within-term-partitioned posting segments. `shard` is a
       consistent hash of doc_id so every term's postings for a given doc
       land in the same shard -> query scoring is doc-sharded with no
@@ -29,8 +31,12 @@ from dataclasses import asdict, dataclass, field
 from typing import Dict, List, Optional
 
 
+FORMAT_VERSION = 2  # v2: block-skippable postings + positions sidecar
+
+
 @dataclass
 class IndexManifest:
+    format_version: int = 1  # explicitly set on save; old manifests lack it
     n_docs: int = 0
     total_tokens: int = 0
     avgdl: float = 0.0
@@ -81,5 +87,5 @@ def metrics_dir(index_dir: str) -> str:
 
 SEGMENT_SCHEMA = (
     "term string, shard int, df_part long, cf_part long, "
-    "postings binary, blockmax binary"
+    "postings binary, positions binary, blockmax binary, bm_avgdl double"
 )

@@ -8,20 +8,26 @@ the same discipline: deterministic scores, explicit total-order tie-break
 
 Query plan (Spark-first):
   1. driver: normalize query terms with the canonical tokenizer; compute
-     idf from term_stats (partition-pruned + predicate-pushdown scan);
-     O(|distinct terms|) rows collected — tiny.
+     term buckets with a driver-side XXH64 (bit-identical to the build's
+     F.xxhash64, no Spark job); global df per term from the PRUNED
+     segments scan (postings column never read — parquet column pruning).
   2. segments scan pruned TWICE: directory pruning on term_bucket +
-     parquet predicate pushdown on term — reads only the posting lists of
-     the query terms, never the index.
+     parquet predicate pushdown on term — only the query terms' posting
+     rows are read; the positions column is read ONLY for phrase queries.
   3. groupBy(shard).applyInPandas: each shard holds a doc-disjoint slice of
      EVERY term's postings (shard = hash(doc_id), build.py), so one group
      computes exact final BM25 scores for its docs with a FIXED per-term
      float64 summation order (rank-identity discipline, SURVEY.md §7.3),
-     evaluates AND/OR/phrase semantics, optionally applies block-max
-     pruning, and emits its local top-k.
+     evaluates AND/OR/phrase semantics, and emits its local top-k.
+     OR queries run block-max MaxScore pruning (prune=True): terms are
+     decoded in descending max-contribution order; once the remaining
+     terms' upper bounds cannot beat the running kth score, their postings
+     are decoded ONLY for blocks containing current candidates (the v2
+     codec's fixed-width block directory makes the skip a byte-offset
+     jump). Pruned docs are PROVABLY below the kth score, and survivors
+     are re-accumulated in canonical term order -> exact, rank-identical
+     top-k.
   4. global merge: k*n_shards candidate rows per query -> window top-k.
-     (TakeOrderedAndProject-shaped: bounded heap per shard, tiny merge —
-     same shape as the reference's bounded-heap top-k, match.py:870-882.)
 
 No posting list ever crosses the network to another shard's scorer, and the
 driver only ever sees k rows per query.
@@ -38,7 +44,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..codec import decode_postings_flat
+from ..codec import (
+    BLOCK,
+    decode_block_postings,
+    decode_blockmax,
+    decode_positions,
+    decode_selected_blocks,
+)
 from ..textnorm import tokenize
 from . import format as fmt
 
@@ -60,8 +72,18 @@ class IndexReader:
         m = fmt.load_manifest(index_dir)
         if m is None or not m.complete:
             raise ValueError(f"no complete index at {index_dir}")
+        if m.format_version != fmt.FORMAT_VERSION:
+            raise ValueError(
+                f"index format v{m.format_version} at {index_dir}; this "
+                f"reader needs v{fmt.FORMAT_VERSION} — rebuild the index"
+            )
         self.manifest = m
         self._df_cache: Dict[str, int] = {}
+
+    def refresh(self) -> None:
+        """Re-read the manifest (after incremental appends)."""
+        self.manifest = fmt.load_manifest(self.index_dir)
+        self._df_cache.clear()
 
     def segments(self) -> DataFrame:
         return self.spark.read.parquet(fmt.segments_dir(self.index_dir))
@@ -110,96 +132,184 @@ def _normalize_queries(queries: Sequence[QuerySpec]) -> List[QuerySpec]:
     return out
 
 
-def _shard_scorer(plan, avgdl: float, k: int):
-    """applyInPandas fn for one shard group.
+class _TermPostings:
+    """All segment rows of one term within one shard (>1 row only after
+    incremental appends), decoded lazily: fully, or selected-blocks-only."""
 
-    plan: list of (query_id, mode, [distinct terms, fixed order], [idfs],
-    phrase_seq) where phrase_seq is the full in-order term sequence for
-    phrase intersection (None otherwise).
-    Input: (shard, term, postings) rows. Output: (query_id, doc_id, score).
-    """
+    __slots__ = ("rows", "_full", "_maxsat")
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: Dict[str, tuple] = {}
-        for term, buf in zip(pdf["term"], pdf["postings"]):
-            if term not in decoded:
-                decoded[term] = decode_postings_flat(bytes(buf))
-        out_q: List[str] = []
-        out_d: List[int] = []
-        out_s: List[float] = []
-        for query_id, mode, terms, idfs, phrase_seq in plan:
-            present = [t for t in terms if t in decoded]
-            if not present:
-                continue
-            if mode in ("and", "phrase") and len(present) != len(terms):
-                continue
-            # candidate doc set
-            if mode == "and":
-                allowed = None
-                for t in terms:
-                    d = decoded[t][0]
-                    allowed = d if allowed is None else np.intersect1d(
-                        allowed, d, assume_unique=True
-                    )
-                    if allowed.size == 0:
-                        break
-                if allowed is None or allowed.size == 0:
-                    continue
-            elif mode == "phrase":
-                allowed = _phrase_docs(decoded, phrase_seq)
-                if allowed.size == 0:
-                    continue
+    def __init__(self):
+        self.rows: List[tuple] = []  # (postings, positions, blockmax)
+        self._full = None
+        self._maxsat = None
+
+    def add(self, postings, positions, blockmax):
+        self.rows.append((bytes(postings), positions, bytes(blockmax)))
+
+    def max_sat(self) -> float:
+        if self._maxsat is None:
+            m = 0.0
+            for _, _, bm in self.rows:
+                _, sat = decode_blockmax(bm)
+                if sat.size:
+                    m = max(m, float(sat.max()))
+            self._maxsat = m
+        return self._maxsat
+
+    def full(self):
+        """-> (doc_ids, tfs, dls) merged over rows, sorted by doc_id."""
+        if self._full is None:
+            parts = [decode_block_postings(p) for p, _, _ in self.rows]
+            if len(parts) == 1:
+                self._full = parts[0]
             else:
-                allowed = None
+                d = np.concatenate([p[0] for p in parts])
+                t = np.concatenate([p[1] for p in parts])
+                l = np.concatenate([p[2] for p in parts])
+                o = np.argsort(d, kind="stable")
+                self._full = (d[o], t[o], l[o])
+        return self._full
 
-            # union doc space for dense accumulation
-            doc_union = np.unique(
-                np.concatenate([decoded[t][0] for t in present])
-            )
-            if allowed is not None:
-                doc_union = np.intersect1d(
-                    doc_union, allowed, assume_unique=True
-                )
-                if doc_union.size == 0:
-                    continue
-            acc = np.zeros(doc_union.size, dtype=np.float64)
-            for t, w in zip(terms, idfs):
-                if t not in decoded:
-                    continue
-                doc_ids, tfs, _, dls = decoded[t]
-                if allowed is not None:
-                    m = np.isin(doc_ids, doc_union, assume_unique=True)
-                    doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
-                    if doc_ids.size == 0:
-                        continue
-                f = tfs.astype(np.float64)
-                dl = dls.astype(np.float64)
-                denom = f + K1 * (1.0 - B + B * dl / avgdl)
-                partial = (w * (f * (K1 + 1.0))) / denom
-                idx = np.searchsorted(doc_union, doc_ids)
-                acc[idx] += partial
-            # local top-k with total-order tie-break (score desc, doc_id asc)
-            order = np.lexsort((doc_union, -acc))[:k]
-            out_q.extend([query_id] * order.size)
-            out_d.extend(doc_union[order].tolist())
-            out_s.extend(acc[order].tolist())
-        return pd.DataFrame(
-            {"query_id": out_q, "doc_id": out_d, "score": out_s}
+    def for_docs(self, docs: np.ndarray):
+        """-> (doc_ids, tfs, dls) restricted to `docs` (sorted array),
+        decoding ONLY blocks that can contain them (byte-offset skip)."""
+        if self._full is not None:  # already decoded — just filter
+            d, t, l = self._full
+            m = np.isin(d, docs, assume_unique=True)
+            return d[m], t[m], l[m]
+        ds, ts, ls = [], [], []
+        for pbuf, _, bm in self.rows:
+            last_doc, _ = decode_blockmax(bm)
+            if last_doc.size == 0:
+                continue
+            blk = np.searchsorted(last_doc, docs, side="left")
+            blk = np.unique(blk[blk < last_doc.size])
+            if blk.size == 0:
+                continue
+            bases = np.where(blk > 0, last_doc[np.maximum(blk - 1, 0)], 0)
+            d, t, l = decode_selected_blocks(pbuf, blk, bases)
+            m = np.isin(d, docs)
+            ds.append(d[m])
+            ts.append(t[m])
+            ls.append(l[m])
+        if not ds:
+            e = np.empty(0, np.int64)
+            return e, e.copy(), e.copy()
+        d = np.concatenate(ds)
+        t = np.concatenate(ts)
+        l = np.concatenate(ls)
+        o = np.argsort(d, kind="stable")
+        return d[o], t[o], l[o]
+
+    def positions_full(self):
+        """-> (doc_ids, tfs, flat_positions) merged, doc-sorted."""
+        parts = []
+        for pbuf, qbuf, _ in self.rows:
+            d, t, _ = decode_block_postings(pbuf)
+            flat = decode_positions(bytes(qbuf), t)
+            parts.append((d, t, flat))
+        if len(parts) == 1:
+            return parts[0]
+        d = np.concatenate([p[0] for p in parts])
+        t = np.concatenate([p[1] for p in parts])
+        order = np.argsort(d, kind="stable")
+        # reorder ragged position segments to the sorted doc order
+        all_t = t
+        seg_starts = np.concatenate([[0], np.cumsum(all_t)])[:-1]
+        flat_all = np.concatenate([p[2] for p in parts])
+        take = np.concatenate(
+            [
+                np.arange(seg_starts[i], seg_starts[i] + all_t[i])
+                for i in order
+            ]
+        ) if order.size else np.empty(0, np.int64)
+        return d[order], t[order], flat_all[take]
+
+
+def _partial(w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float):
+    f = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    denom = f + K1 * (1.0 - B + B * dl / avgdl)
+    return (w * (f * (K1 + 1.0))) / denom
+
+
+def _canonical_scores(
+    terms: List[str],
+    idfs: List[float],
+    tp: Dict[str, "_TermPostings"],
+    docs: np.ndarray,
+    avgdl: float,
+) -> np.ndarray:
+    """Exact scores for the sorted doc array `docs`, accumulated in
+    canonical (first-occurrence) term order — the oracle's float64 op
+    order, so results are bit-identical regardless of pruning path."""
+    acc = np.zeros(docs.size, dtype=np.float64)
+    for t, w in zip(terms, idfs):
+        if t not in tp:
+            continue
+        d, f, l = tp[t].for_docs(docs)
+        if d.size == 0:
+            continue
+        idx = np.searchsorted(docs, d)
+        acc[idx] += _partial(w, f, l, avgdl)
+    return acc
+
+
+def _or_candidates_pruned(
+    terms: List[str],
+    idfs: List[float],
+    tp: Dict[str, "_TermPostings"],
+    avgdl: float,
+    k: int,
+) -> np.ndarray:
+    """Block-max MaxScore: returns a sorted doc array PROVABLY containing
+    the exact top-k. Terms are fully decoded in descending upper-bound
+    order only while the undeced terms' bounds could still beat the
+    running kth partial score; after that, remaining terms can only
+    re-score existing candidates (selected-block decode)."""
+    present = [(t, w) for t, w in zip(terms, idfs) if t in tp]
+    if not present:
+        return np.empty(0, dtype=np.int64)
+    # upper bound of a term's contribution to any doc
+    caps = [w * tp[t].max_sat() for t, w in present]
+    order = np.argsort([-c for c in caps], kind="stable")
+    docs = np.empty(0, dtype=np.int64)
+    scores = np.empty(0, dtype=np.float64)
+    rest = float(sum(caps))
+    for oi in order:
+        t, w = present[oi]
+        theta = (
+            -np.inf
+            if scores.size < k
+            else float(np.partition(scores, scores.size - k)[scores.size - k])
         )
+        if rest < theta:
+            break  # no undecoded term set can create a new top-k doc
+        d, f, l = tp[t].full()
+        p = _partial(w, f, l, avgdl)
+        new = np.setdiff1d(d, docs, assume_unique=True)
+        merged = np.union1d(docs, new)
+        ns = np.zeros(merged.size, dtype=np.float64)
+        ns[np.searchsorted(merged, docs)] = scores
+        ns[np.searchsorted(merged, d)] += p
+        docs, scores = merged, ns
+        rest -= caps[oi]
+    return docs
 
-    return score
 
-
-def _phrase_docs(decoded: Dict[str, tuple], terms: List[str]) -> np.ndarray:
+def _phrase_docs(
+    tp: Dict[str, "_TermPostings"], terms: List[str]
+) -> np.ndarray:
     """Docs (within this shard) containing terms consecutively: positional
     intersection on (doc, pos) pairs via a dense local doc index."""
     for t in terms:
-        if t not in decoded:
+        if t not in tp:
             return np.empty(0, dtype=np.int64)
-    all_docs = np.unique(np.concatenate([decoded[t][0] for t in terms]))
+    dec = {t: tp[t].positions_full() for t in set(terms)}
+    all_docs = np.unique(np.concatenate([dec[t][0] for t in terms]))
 
     def pairs(t: str, k: int) -> np.ndarray:
-        doc_ids, tfs, flat_pos, _ = decoded[t]
+        doc_ids, tfs, flat_pos = dec[t]
         docs_rep = np.repeat(np.searchsorted(all_docs, doc_ids), tfs)
         p = flat_pos - k
         keep = p >= 0
@@ -213,12 +323,74 @@ def _phrase_docs(decoded: Dict[str, tuple], terms: List[str]) -> np.ndarray:
     return all_docs[np.unique(inter >> 22)]
 
 
+def _shard_scorer(plan, avgdl: float, k: int, prune: bool):
+    """applyInPandas fn for one shard group.
+
+    plan: list of (query_id, mode, [distinct terms, fixed order], [idfs],
+    phrase_seq). Input: (shard, term, postings, positions?, blockmax) rows.
+    Output: (query_id, doc_id, score) — the shard-local exact top-k."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        has_pos = "positions" in pdf.columns
+        tp: Dict[str, _TermPostings] = {}
+        for i in range(len(pdf)):
+            term = pdf["term"].iat[i]
+            tp.setdefault(term, _TermPostings()).add(
+                pdf["postings"].iat[i],
+                pdf["positions"].iat[i] if has_pos else b"",
+                pdf["blockmax"].iat[i],
+            )
+        out_q: List[str] = []
+        out_d: List[int] = []
+        out_s: List[float] = []
+        for query_id, mode, terms, idfs, phrase_seq in plan:
+            present = [t for t in terms if t in tp]
+            if not present:
+                continue
+            if mode in ("and", "phrase") and len(present) != len(terms):
+                continue
+            if mode == "and":
+                docs = None
+                for t in terms:
+                    d = tp[t].full()[0]
+                    docs = d if docs is None else np.intersect1d(
+                        docs, d, assume_unique=True
+                    )
+                    if docs.size == 0:
+                        break
+                if docs is None or docs.size == 0:
+                    continue
+            elif mode == "phrase":
+                docs = _phrase_docs(tp, phrase_seq)
+                if docs.size == 0:
+                    continue
+            elif prune and len(present) > 1:
+                docs = _or_candidates_pruned(terms, idfs, tp, avgdl, k)
+            else:
+                docs = np.unique(
+                    np.concatenate([tp[t].full()[0] for t in present])
+                )
+            if docs.size == 0:
+                continue
+            acc = _canonical_scores(terms, idfs, tp, docs, avgdl)
+            order = np.lexsort((docs, -acc))[:k]
+            out_q.extend([query_id] * order.size)
+            out_d.extend(docs[order].tolist())
+            out_s.extend(acc[order].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s}
+        )
+
+    return score
+
+
 def bm25_topk_df(
     spark: SparkSession,
     index_dir: str,
     queries: Sequence[QuerySpec],
     k: int = 10,
     reader: Optional[IndexReader] = None,
+    prune: bool = True,
 ) -> DataFrame:
     """-> DataFrame(query_id string, rank int, doc_id long, score double)."""
     r = reader or IndexReader(spark, index_dir)
@@ -234,6 +406,7 @@ def bm25_topk_df(
         return math.log(1.0 + (n - d + 0.5) / (d + 0.5))
 
     plan = []
+    need_pos = False
     for q in qs:
         uterms: Dict[str, None] = {}
         for t in q.terms:
@@ -242,6 +415,7 @@ def bm25_topk_df(
         if not terms:
             continue
         seq = q.terms if q.mode == "phrase" else None
+        need_pos = need_pos or q.mode == "phrase"
         plan.append((q.query_id, q.mode, terms, [idf(t) for t in terms], seq))
 
     hit_terms = [t for t in all_terms if dfs.get(t, 0) > 0]
@@ -254,10 +428,16 @@ def bm25_topk_df(
     seg = r.segments().where(
         F.col("term_bucket").isin(blist) & F.col("term").isin(hit_terms)
     )
-    # phrase mode dedup: scorer handles repeated terms via decoded dict
-    cand = seg.select("shard", "term", "postings").groupBy("shard").applyInPandas(
-        _shard_scorer(plan, avgdl, k),
-        schema="query_id string, doc_id long, score double",
+    cols = ["shard", "term", "postings", "blockmax"] + (
+        ["positions"] if need_pos else []
+    )
+    cand = (
+        seg.select(*cols)
+        .groupBy("shard")
+        .applyInPandas(
+            _shard_scorer(plan, avgdl, k, prune),
+            schema="query_id string, doc_id long, score double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
