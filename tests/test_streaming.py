@@ -1,0 +1,88 @@
+"""Incremental (Structured Streaming) index == batch-built index: identical
+ranks AND scores on the full query set after streaming the same corpus in
+three micro-batches."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_search_spark.corpus import generate_pages, generate_queries
+from text_search_spark.index import format as fmt
+from text_search_spark.index.build import (
+    build_index,
+    hash_doc_id_py,
+    prepare_corpus,
+)
+from text_search_spark.index.query import IndexReader, QuerySpec, bm25_topk_df
+from text_search_spark.streaming.incremental import (
+    incremental_index,
+    rebuild_term_stats,
+)
+
+N_DOCS = 400
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    pages = generate_pages(N_DOCS)
+    pdf = spark.createDataFrame(
+        [(p.url, p.text) for p in pages], "url string, text string"
+    )
+    corpus = prepare_corpus(pdf, url_col="url")
+
+    # batch reference index
+    batch_dir = str(tmp_path / "batch_ix")
+    build_index(spark, corpus, batch_dir, n_buckets=4, n_shards=2,
+                bucket_groups=1)
+
+    # stream the same corpus in 3 parquet files through a file source
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = corpus.collect()
+    third = len(rows) // 3
+    for i, chunk in enumerate(
+        [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    ):
+        spark.createDataFrame(
+            chunk, "doc_id long, url string, text string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream_dir = str(tmp_path / "stream_ix")
+    ckpt = str(tmp_path / "ckpt")
+    stream_df = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = incremental_index(spark, stream_df, stream_dir, ckpt)
+    q.awaitTermination(300)
+
+    man = fmt.load_manifest(stream_dir)
+    assert man is not None and man.complete
+    bman = fmt.load_manifest(batch_dir)
+    assert man.n_docs == bman.n_docs == N_DOCS
+    assert man.total_tokens == bman.total_tokens
+    assert man.avgdl == bman.avgdl
+
+    queries = generate_queries()
+    specs = [QuerySpec(qq.query_id, qq.terms, qq.mode) for qq in queries]
+
+    def result(ix):
+        out = bm25_topk_df(spark, ix, specs, k=10)
+        return sorted(
+            (r.query_id, r.rank, r.doc_id, r.score) for r in out.collect()
+        )
+
+    assert result(stream_dir) == result(batch_dir)
+
+    # derived stats rebuild works
+    rebuild_term_stats(spark, stream_dir)
+    ts_s = {
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(fmt.term_stats_dir(stream_dir)).collect()
+    }
+    ts_b = {
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(fmt.term_stats_dir(batch_dir)).collect()
+    }
+    assert ts_s == ts_b

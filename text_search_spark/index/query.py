@@ -136,30 +136,38 @@ class _TermPostings:
     """All segment rows of one term within one shard (>1 row only after
     incremental appends), decoded lazily: fully, or selected-blocks-only."""
 
-    __slots__ = ("rows", "_full", "_maxsat")
+    __slots__ = ("rows", "_full", "_maxsat", "avgdl_now")
 
-    def __init__(self):
-        self.rows: List[tuple] = []  # (postings, positions, blockmax)
+    def __init__(self, avgdl_now: float):
+        self.rows: List[tuple] = []  # (postings, positions, blockmax, bmav)
         self._full = None
         self._maxsat = None
+        self.avgdl_now = avgdl_now
 
-    def add(self, postings, positions, blockmax):
-        self.rows.append((bytes(postings), positions, bytes(blockmax)))
+    def add(self, postings, positions, blockmax, bm_avgdl):
+        self.rows.append(
+            (bytes(postings), positions, bytes(blockmax), float(bm_avgdl))
+        )
 
     def max_sat(self) -> float:
+        """Upper bound of the tf-saturation factor under the CURRENT avgdl.
+        Sidecar bounds were computed with the row's build-time bm_avgdl;
+        sat(avgdl_now) <= sat(bm_avgdl) * max(1, avgdl_now/bm_avgdl), so
+        incremental appends (avgdl drift) keep the bound safe."""
         if self._maxsat is None:
             m = 0.0
-            for _, _, bm in self.rows:
+            for _, _, bm, bmav in self.rows:
                 _, sat = decode_blockmax(bm)
                 if sat.size:
-                    m = max(m, float(sat.max()))
+                    corr = max(1.0, self.avgdl_now / bmav) if bmav > 0 else 1.0
+                    m = max(m, float(sat.max()) * corr)
             self._maxsat = m
         return self._maxsat
 
     def full(self):
         """-> (doc_ids, tfs, dls) merged over rows, sorted by doc_id."""
         if self._full is None:
-            parts = [decode_block_postings(p) for p, _, _ in self.rows]
+            parts = [decode_block_postings(p) for p, _, _, _ in self.rows]
             if len(parts) == 1:
                 self._full = parts[0]
             else:
@@ -178,7 +186,7 @@ class _TermPostings:
             m = np.isin(d, docs, assume_unique=True)
             return d[m], t[m], l[m]
         ds, ts, ls = [], [], []
-        for pbuf, _, bm in self.rows:
+        for pbuf, _, bm, _bmav in self.rows:
             last_doc, _ = decode_blockmax(bm)
             if last_doc.size == 0:
                 continue
@@ -204,7 +212,7 @@ class _TermPostings:
     def positions_full(self):
         """-> (doc_ids, tfs, flat_positions) merged, doc-sorted."""
         parts = []
-        for pbuf, qbuf, _ in self.rows:
+        for pbuf, qbuf, _, _ in self.rows:
             d, t, _ = decode_block_postings(pbuf)
             flat = decode_positions(bytes(qbuf), t)
             parts.append((d, t, flat))
@@ -335,10 +343,11 @@ def _shard_scorer(plan, avgdl: float, k: int, prune: bool):
         tp: Dict[str, _TermPostings] = {}
         for i in range(len(pdf)):
             term = pdf["term"].iat[i]
-            tp.setdefault(term, _TermPostings()).add(
+            tp.setdefault(term, _TermPostings(avgdl)).add(
                 pdf["postings"].iat[i],
                 pdf["positions"].iat[i] if has_pos else b"",
                 pdf["blockmax"].iat[i],
+                pdf["bm_avgdl"].iat[i],
             )
         out_q: List[str] = []
         out_d: List[int] = []
@@ -428,7 +437,7 @@ def bm25_topk_df(
     seg = r.segments().where(
         F.col("term_bucket").isin(blist) & F.col("term").isin(hit_terms)
     )
-    cols = ["shard", "term", "postings", "blockmax"] + (
+    cols = ["shard", "term", "postings", "blockmax", "bm_avgdl"] + (
         ["positions"] if need_pos else []
     )
     cand = (

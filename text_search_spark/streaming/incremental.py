@@ -1,0 +1,154 @@
+"""Structured-Streaming incremental index maintenance (SURVEY.md §2.8).
+
+The reference's pipeline is batch with idempotent skip-if-exists re-runs
+(/root/reference/examples/libriheavy/tools/split_into_chunks.py:81-83); the
+streaming analog is micro-batch appends: each batch of new pages becomes a
+set of NEW segment rows appended to the same term-partitioned layout — the
+query engine already merges multiple rows per (term, shard)
+(query._TermPostings), and block-max bounds stay valid under avgdl drift
+via the per-row bm_avgdl correction.
+
+Usage:
+    q = incremental_index(spark, stream_df, index_dir, checkpoint_dir)
+    q.awaitTermination()          # or trigger(availableNow=True)
+
+stream_df: a STREAMING DataFrame with (doc_id long, url string, text
+string). Caller guarantees doc_ids are new (exactly-once feed or upstream
+dedup); re-ingesting a doc_id double-counts it.
+
+Consistency model: each micro-batch commits segments + doc_stats + metrics
+first, then the manifest (single JSON rename) — a query sees either the
+pre- or post-batch index, never a torn one, because scoring statistics
+(n_docs, avgdl) come from the manifest and extra unreferenced segment rows
+only become reachable when the manifest commit lands. term_stats is NOT
+maintained per batch (it's derived data); call rebuild_term_stats() when a
+fresh stats table is needed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..textnorm import spark_tokens
+from ..index import format as fmt
+from ..index.build import _auto_size, _segment_builder, _append_metrics
+
+
+def _append_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    batch_id: int,
+) -> None:
+    man = fmt.load_manifest(index_dir)
+    if man is None:
+        man = fmt.IndexManifest(
+            format_version=fmt.FORMAT_VERSION,
+            run_id=f"stream:{batch_id}",
+        )
+    batch = batch.select("doc_id", "url", "text")
+
+    # per-batch doc stats
+    ds = batch.select(
+        "doc_id", "url", F.size(spark_tokens(F.col("text"))).alias("doc_len")
+    )
+    ds.write.mode("append").parquet(fmt.doc_stats_dir(index_dir))
+    stats = spark.read.parquet(fmt.doc_stats_dir(index_dir)).select(
+        F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
+    ).first()
+    n_docs, total_tokens = int(stats[0]), int(stats[1])
+
+    if man.n_buckets == 0:  # first batch fixes the layout
+        man.n_buckets, man.n_shards = _auto_size(
+            max(total_tokens, 1) * 4,  # leave headroom for growth
+            spark.sparkContext.defaultParallelism,
+        )
+    n_buckets, n_shards = man.n_buckets, man.n_shards
+    batch_avgdl = total_tokens / n_docs if n_docs else 0.0
+
+    doc_lens = ds.select("doc_id", "doc_len")
+    tokens = (
+        batch.select(
+            "doc_id",
+            F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
+        )
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
+        )
+        .join(doc_lens.hint("broadcast"), "doc_id")
+    )
+    seg_schema = (
+        "term_bucket int, term string, shard int, df_part long, "
+        "cf_part long, postings binary, positions binary, "
+        "blockmax binary, bm_avgdl double"
+    )
+    seg = (
+        tokens.repartition(
+            max(n_buckets, spark.sparkContext.defaultParallelism),
+            "term_bucket",
+            "shard",
+        )
+        .sortWithinPartitions("term", "shard", "doc_id", "pos")
+        .mapInPandas(_segment_builder(batch_avgdl), schema=seg_schema)
+    )
+    seg.write.mode("append").partitionBy("term_bucket").parquet(
+        fmt.segments_dir(index_dir)
+    )
+    _append_metrics(
+        spark,
+        index_dir,
+        f"stream:{batch_id}",
+        f"stream_batch:{batch_id}",
+        "batch",
+        batch.count(),
+        0,
+        0,
+    )
+    # manifest commit LAST (atomic rename) — queries flip to the new state
+    man.n_docs = n_docs
+    man.total_tokens = total_tokens
+    man.avgdl = batch_avgdl
+    man.stages[f"stream:{batch_id}"] = True
+    man.stages["term_stats"] = False  # stale until rebuild_term_stats
+    man.complete = True
+    fmt.save_manifest(index_dir, man)
+
+
+def incremental_index(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the incremental indexing query. Returns the StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda b, bid: _append_batch(spark, b, index_dir, bid)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
+    seg = spark.read.parquet(fmt.segments_dir(index_dir))
+    (
+        seg.groupBy("term", "term_bucket")
+        .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"))
+        .select("term", "df", "cf", "term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(fmt.term_stats_dir(index_dir))
+    )
+    man = fmt.load_manifest(index_dir)
+    man.stages["term_stats"] = True
+    fmt.save_manifest(index_dir, man)
