@@ -1,0 +1,107 @@
+"""Physical-plan regression tests: pushdown, pruning, broadcast, no
+row-at-a-time Python in relational paths. These pin the properties that
+matter at 100 TB (SURVEY.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_search_spark.corpus import generate_pages
+from text_search_spark.index import format as ixfmt
+from text_search_spark.index.build import build_index, prepare_corpus
+from text_search_spark.plans.explain import (
+    assert_in_plan,
+    assert_not_in_plan,
+    formatted_plan,
+)
+from text_search_spark.textnorm import spark_tokens
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan") / "ix")
+    pages = generate_pages(120)
+    pdf = spark.createDataFrame(
+        [(p.url, p.text) for p in pages], "url string, text string"
+    )
+    build_index(
+        spark,
+        prepare_corpus(pdf, url_col="url"),
+        d,
+        n_buckets=4,
+        n_shards=2,
+        bucket_groups=1,
+    )
+    return d
+
+
+def test_segments_scan_pushdown_and_pruning(spark, small_index):
+    """Query-term filter reaches the parquet scan; term_bucket prunes
+    directories; positions column NOT read for non-phrase queries."""
+    seg = spark.read.parquet(ixfmt.segments_dir(small_index))
+    scan = seg.where(
+        F.col("term_bucket").isin([1]) & F.col("term").isin(["THE"])
+    ).select("shard", "term", "postings", "blockmax", "bm_avgdl")
+    plan = formatted_plan(scan)
+    assert "PushedFilters" in plan and "THE" in plan
+    assert "PartitionFilters" in plan
+    # column pruning: the positions column must not be in ReadSchema
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ][0]
+    assert "positions" not in read_schema
+    assert "postings" in read_schema
+
+
+def test_tokenizer_is_jvm_side(spark):
+    """The tokenize/explode path must not contain Python evaluation."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.posexplode(spark_tokens(F.col("text"))).alias("p", "t")
+    )
+    assert_not_in_plan(toks, "BatchEvalPython", "ArrowEvalPython")
+    assert_in_plan(toks, "codegen id")  # inside a whole-stage codegen span
+
+
+def test_knn_broadcasts_queries(spark):
+    from text_search_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assert_in_plan(ann.cosine_topk(emb, qs, k=5), "BroadcastNestedLoopJoin")
+
+
+def test_tpch_q3_broadcast_join(spark):
+    import __spark_entry__ as em
+
+    df = em.queries()["tpch_q3"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_corpus_scan_prunes_columns(spark, tmp_path):
+    """doc_stats build reads only the columns it needs (no html column
+    in ReadSchema when the corpus has extra columns)."""
+    p = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [("u", b"<p>x</p>", "x", "en")],
+        "url string, html binary, text string, lang string",
+    ).write.parquet(p)
+    corpus = prepare_corpus(spark.read.parquet(p), url_col="url")
+    proj = corpus.select(
+        "doc_id", F.size(spark_tokens(F.col("text"))).alias("doc_len")
+    )
+    plan = formatted_plan(proj)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "html" not in read_schema
+    assert "text" in read_schema
+
+
+def test_filter_pushdown_on_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    plan = formatted_plan(q)
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters", 1)[1].splitlines()[0]
