@@ -99,10 +99,11 @@ def check_doc_id_unique(corpus: DataFrame) -> None:
         raise ValueError(f"doc_id collision: {n} rows, {nd} distinct doc_ids")
 
 
-# builder chunk size: rows buffered before a vectorized flush. The sizing
-# rule (TOKENS_PER_PARTITION) keeps whole partitions near this anyway; the
-# chunking is the safety net for oversized partitions.
-_CHUNK_ROWS = 4_000_000
+# builder chunk size: rows buffered before a vectorized flush. Small enough
+# that a chunk's working set is reused from the allocator arena across
+# chunks (first-touch page faults are expensive in VMs), large enough to
+# amortize per-chunk fixed numpy overhead.
+_CHUNK_ROWS = 1_000_000
 
 
 def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
