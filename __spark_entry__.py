@@ -395,6 +395,175 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q3"] = tpch_q3
 
+    # ---- union / provenance-filter / running aggregates / argmax ----
+    def corpus_union(spark, sf_dir):
+        # P2 append_texts analog: disjoint doc_id ranges, union, stats
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        d2 = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        u = d.unionByName(d2)
+        toks = u.select(
+            "doc_id",
+            F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
+        )
+        return (
+            toks.groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        )
+
+    q["corpus_union"] = corpus_union
+
+    def filtered_postings(spark, sf_dir):
+        # P3 filter_texts analog: drop stop-terms, positions survive
+        stop = [s.upper() for s in
+                ["the", "a", "key", "row", "data", "table", "value"]]
+        toks = tokenize_explode(spark, sf_dir).where(~F.col("term").isin(stop))
+        return toks.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("pos")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
+        )
+
+    q["filtered_postings"] = filtered_postings
+
+    def events_cumsum(spark, sf_dir):
+        # A3: per-user running sum (prefix sums for O(1) range stats)
+        e = _t(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return e.select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("cum_value"),
+        )
+
+    q["events_cumsum"] = events_cumsum
+
+    def argmax_doc(spark, sf_dir):
+        # T6 candidate-range argmax analog: per lang, doc with max n_chars
+        d = _t(spark, sf_dir, "documents")
+        return d.groupBy("lang").agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")),
+            ).alias("best_doc"),
+            F.max("n_chars").alias("max_chars"),
+        )
+
+    q["argmax_doc"] = argmax_doc
+
+    def embedding_dups(spark, sf_dir):
+        # embedding-cosine near-dup pairs (threshold on rounded cosine)
+        e = _t(spark, sf_dir, "embeddings")
+        a = e.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").cast("array<double>").alias("va"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").cast("array<double>").alias("vb"),
+        )
+        j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        cos = F.round(dot / (na * nb), 4)
+        return (
+            j.select("id_a", "id_b", cos.alias("cos"))
+            .where(F.col("cos") >= 0.5)
+        )
+
+    q["embedding_dups"] = embedding_dups
+
+    def interval_select(spark, sf_dir):
+        # J6 is_overlap greedy suppression per user (order-dependent ->
+        # grouped kernel; rows-only driver check, golden-pinned in pytest)
+        import pandas as pd
+
+        from text_search_spark.kernels import is_overlap
+
+        e = _t(spark, sf_dir, "events").select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("string").alias("tss"),
+            "value",
+        )
+
+        def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["tss", "event_id"]).reset_index(drop=True)
+            ranges, idxs = [], []
+            kept = []
+            for i in range(len(pdf)):
+                start = float(i)
+                dur = max(0.1, float(pdf["value"].iat[i]) / 10.0)
+                ok, evicted = is_overlap(
+                    ranges, idxs, (start, start + dur), i
+                )
+                if not ok:
+                    kept.append(i)
+                elif evicted is not None:
+                    kept = [k for k in kept if k != evicted] + [i]
+            sel = pdf.iloc[sorted(kept)]
+            return pd.DataFrame(
+                {
+                    "user_id": sel["user_id"],
+                    "event_id": sel["event_id"],
+                }
+            )
+
+        return e.groupBy("user_id").applyInPandas(
+            pick, schema="user_id long, event_id long"
+        )
+
+    q["interval_select"] = interval_select
+
+    def align_spans_demo(spark, sf_dir):
+        # J1+J2+J4 composite over real docs: align a known substring (with
+        # one typo) of each of 5 documents back to its source
+        from text_search_spark.operators.align import align_spans
+
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 5)
+        pairs = d.select(
+            F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias(
+                "query_id"
+            ),
+            F.concat(
+                F.lit("zz"), F.substring(F.col("text"), 10, 40)
+            ).alias("query_text"),
+            "doc_id",
+            F.col("text").alias("doc_text"),
+        )
+        return align_spans(pairs)
+
+    q["align_spans_demo"] = align_spans_demo
+
+    def multimodal_features(spark, sf_dir):
+        from text_search_spark.operators.multimodal import (
+            extract_features,
+            synthetic_media,
+        )
+
+        return extract_features(synthetic_media(spark, 30), "image")
+
+    q["multimodal_features"] = multimodal_features
+
     # ---- reference-kernel demos (non-SQL; golden-pinned in pytest) ----
     def kernel_suffix_array(spark, sf_dir):
         from text_search_spark.kernels import create_suffix_array
@@ -708,6 +877,57 @@ SELECT user_id, count(*) AS n_overlaps FROM x
 WHERE pts_us IS NOT NULL
   AND CAST(ts_us AS DOUBLE) < CAST(pts_us AS DOUBLE) + pv * 1000000.0
 GROUP BY user_id
+"""
+
+    o["corpus_union"] = f"""
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+toks AS (SELECT doc_id, unnest(ts) AS term
+  FROM (SELECT doc_id, {duckdb_tokens_sql('text')} AS ts FROM uni) _d),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term
+"""
+
+    _stop = ", ".join(
+        "'" + w.upper() + "'"
+        for w in ["the", "a", "key", "row", "data", "table", "value"]
+    )
+    o["filtered_postings"] = f"""
+WITH {_TOKS}
+SELECT term, doc_id, count(*) AS tf,
+  string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM toks WHERE term NOT IN ({_stop})
+GROUP BY term, doc_id
+"""
+
+    o["events_cumsum"] = """
+SELECT event_id, CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+FROM events
+"""
+
+    o["argmax_doc"] = """
+SELECT lang, doc_id AS best_doc, CAST(n_chars AS BIGINT) AS max_chars
+FROM (SELECT lang, doc_id, n_chars, row_number() OVER (
+        PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS r
+      FROM documents) WHERE r = 1
+"""
+
+    o["embedding_dups"] = """
+WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+cos AS (SELECT dots.id_a, dots.id_b,
+  round(dot / (na.nrm * nb.nrm), 4) AS cos
+  FROM dots JOIN norms na ON na.vec_id = dots.id_a
+  JOIN norms nb ON nb.vec_id = dots.id_b)
+SELECT id_a, id_b, cos FROM cos WHERE cos >= 0.5
 """
 
     o["tpch_q1"] = """
