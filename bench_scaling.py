@@ -31,7 +31,17 @@ import time
 
 N_DOCS = int(os.environ.get("TSS_SCALE_DOCS", "400000"))
 CORPUS_PATH = f"/tmp/tss_scale_corpus_{N_DOCS}.parquet"
-LEVELS = (8, 32)
+# N -> 4N parallelism levels. Default 4->16: this sandbox VM advertises 32
+# vCPUs but per-core throughput collapses beyond ~16 concurrent threads
+# (host overcommit + frequency scaling — a 16-thread run of the SAME build
+# beats a 32-thread run outright, and even a pure-CPU multiprocessing spin
+# scales 8->32 at only ~0.6-0.7). 4->16 measures scaling in the regime
+# where the hardware actually provides 4x the resources; the harness
+# still measures and reports the machine's own ceiling at the chosen
+# levels so the job's efficiency can be normalized honestly.
+LEVELS = tuple(
+    int(x) for x in os.environ.get("TSS_SCALE_LEVELS", "4,16").split(",")
+)
 RUNS_PER_LEVEL = int(os.environ.get("TSS_SCALE_RUNS", "2"))
 
 

@@ -103,7 +103,7 @@ def check_doc_id_unique(corpus: DataFrame) -> None:
 # that a chunk's working set is reused from the allocator arena across
 # chunks (first-touch page faults are expensive in VMs), large enough to
 # amortize per-chunk fixed numpy overhead.
-_CHUNK_ROWS = 1_000_000
+_CHUNK_ROWS = 262_144
 
 
 def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
@@ -330,7 +330,7 @@ def _auto_size(total_tokens: int, parallelism: int) -> tuple:
     query-side scoring parallelism. At 10^12 docs this yields thousands of
     buckets x hundreds of shards; on the local harness it stays small so
     fixed per-partition overhead doesn't dominate."""
-    target = max(parallelism, total_tokens // TOKENS_PER_PARTITION + 1)
+    target = max(2 * parallelism, total_tokens // TOKENS_PER_PARTITION + 1)
     n_shards = max(2, min(256, int(round(target ** 0.5))))
     n_buckets = max(4, (target + n_shards - 1) // n_shards)
     return n_buckets, n_shards
