@@ -1,0 +1,166 @@
+"""Hierarchical segment merge (SURVEY.md §4 custom-work item 4; north star:
+"hierarchically merged into term-partitioned index shards").
+
+merge_shards halves (or /f) the shard count of an index: every f doc-
+disjoint (term, shard) segments merge into one. Because shard = hash(doc_id)
+% S and S_new divides S, `new_shard = shard % S_new` equals hash(doc_id) %
+S_new — the doc-sharded query invariant survives the merge, and a merged
+index is BYTE-IDENTICAL to one built directly at S_new (asserted in
+tests/test_merge.py): the merged doc list is the same sorted sequence, so
+gaps, blocks, block-max and positions re-encode to the same bytes.
+
+Repeated application gives the log-depth merge tree: S -> S/f -> ... -> 1.
+Each level is one Spark job over segment ROWS (already compressed — orders
+of magnitude smaller than the token relation), shuffled on (term_bucket,
+new_shard) and spliced in a streaming Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..codec import (
+    decode_block_postings,
+    decode_positions,
+    encode_block_postings,
+    encode_blockmax,
+    encode_positions,
+)
+from . import format as fmt
+
+
+def _merge_rows(rows: List[tuple], avgdl: float) -> tuple:
+    """Merge f segment rows of one (term, new_shard): returns the new
+    (df_part, cf_part, postings, positions, blockmax)."""
+    docs_l, tfs_l, dls_l, pos_l = [], [], [], []
+    for postings, positions in rows:
+        d, t, l = decode_block_postings(bytes(postings))
+        p = decode_positions(bytes(positions), t)
+        docs_l.append(d)
+        tfs_l.append(t)
+        dls_l.append(l)
+        pos_l.append(p)
+    d = np.concatenate(docs_l)
+    t = np.concatenate(tfs_l)
+    l = np.concatenate(dls_l)
+    order = np.argsort(d, kind="stable")  # inputs doc-disjoint
+    d, t_s, l_s = d[order], t[order], l[order]
+    # reorder ragged position segments to the merged doc order
+    seg_starts = np.concatenate([[0], np.cumsum(t)])[:-1]
+    flat = np.concatenate(pos_l)
+    take = (
+        np.concatenate(
+            [np.arange(seg_starts[i], seg_starts[i] + t[i]) for i in order]
+        )
+        if order.size
+        else np.empty(0, np.int64)
+    )
+    flat = flat[take]
+    # re-delta the positions (reset at each doc)
+    new_starts = np.concatenate([[0], np.cumsum(t_s)])[:-1].astype(np.int64)
+    gaps = flat.copy()
+    if flat.size:
+        gaps[1:] = flat[1:] - flat[:-1]
+        gaps[new_starts] = flat[new_starts]
+    return (
+        int(d.size),
+        int(t_s.sum()),
+        encode_block_postings(d, t_s, l_s),
+        encode_positions(gaps),
+        encode_blockmax(d, t_s, l_s, avgdl),
+    )
+
+
+def merge_shards(
+    spark: SparkSession, index_dir: str, out_dir: str, factor: int = 2
+) -> None:
+    """Produce a new index at out_dir with n_shards /= factor."""
+    man = fmt.load_manifest(index_dir)
+    assert man is not None and man.complete
+    s_old, s_new = man.n_shards, man.n_shards // factor
+    assert s_new >= 1 and s_old % s_new == 0
+    avgdl = man.avgdl
+
+    seg = spark.read.parquet(fmt.segments_dir(index_dir))
+    seg = seg.withColumn("new_shard", (F.col("shard") % s_new).cast("int"))
+
+    def splice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        cur_rows: List[tuple] = []
+        cur_meta = None
+        out: List[tuple] = []
+
+        def flush():
+            if cur_key is None:
+                return
+            dfp, cfp, postings, positions, blockmax = _merge_rows(
+                cur_rows, avgdl
+            )
+            out.append(
+                cur_meta + (dfp, cfp, postings, positions, blockmax, avgdl)
+            )
+
+        for b in batches:
+            for i in range(len(b)):
+                key = (b["term"].iat[i], int(b["new_shard"].iat[i]))
+                if key != cur_key:
+                    flush()
+                    cur_key = key
+                    cur_rows = []
+                    cur_meta = (
+                        int(b["term_bucket"].iat[i]),
+                        b["term"].iat[i],
+                        int(b["new_shard"].iat[i]),
+                    )
+                cur_rows.append((b["postings"].iat[i], b["positions"].iat[i]))
+        flush()
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "term_bucket", "term", "shard", "df_part", "cf_part",
+                "postings", "positions", "blockmax", "bm_avgdl",
+            ],
+        )
+
+    schema = (
+        "term_bucket int, term string, shard int, df_part long, "
+        "cf_part long, postings binary, positions binary, "
+        "blockmax binary, bm_avgdl double"
+    )
+    merged = (
+        seg.repartition(
+            max(man.n_buckets, spark.sparkContext.defaultParallelism),
+            "term_bucket",
+            "new_shard",
+        )
+        .sortWithinPartitions("term", "new_shard", "shard")
+        .mapInPandas(splice, schema=schema)
+    )
+    merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        fmt.segments_dir(out_dir)
+    )
+    # stats tables + manifest carry over (doc space unchanged)
+    spark.read.parquet(fmt.doc_stats_dir(index_dir)).write.mode(
+        "overwrite"
+    ).parquet(fmt.doc_stats_dir(out_dir))
+    spark.read.parquet(fmt.term_stats_dir(index_dir)).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(fmt.term_stats_dir(out_dir))
+    new_man = fmt.IndexManifest(
+        format_version=fmt.FORMAT_VERSION,
+        n_docs=man.n_docs,
+        total_tokens=man.total_tokens,
+        avgdl=man.avgdl,
+        n_buckets=man.n_buckets,
+        n_shards=s_new,
+        run_id=man.run_id + f"+merge{factor}",
+        complete=True,
+        stages={"merged_from": True},
+    )
+    fmt.save_manifest(out_dir, new_man)
