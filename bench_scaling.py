@@ -179,7 +179,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "index-build scaling efficiency local[8]->local[32]",
+                "metric": f"index-build scaling efficiency local[{lo}]->local[{hi}]",
                 "n_docs": N_DOCS,
                 "levels": best,
                 "speedup": round(tp_hi / tp_lo, 3),

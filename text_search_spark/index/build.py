@@ -417,11 +417,15 @@ def build_index(
         checkpoint("doc_stats")
 
     def exploded_tokens() -> DataFrame:
-        tokens = (
-            corpus.select("doc_id", F.col("text"))
-            .select(
+        # doc_len rides along from the same tokens array the explode uses —
+        # one projection, no join (scoring needs dl per posting; computing
+        # it inline beats broadcast-joining doc_stats back in)
+        toks = spark_tokens(F.col("text"))
+        return (
+            corpus.select(
                 "doc_id",
-                F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
+                F.size(toks).alias("doc_len"),
+                F.posexplode(toks).alias("pos", "term"),
             )
             .withColumn(
                 "term_bucket",
@@ -432,12 +436,6 @@ def build_index(
                 F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
             )
         )
-        # carry doc_len with the postings so scoring never joins doc_stats;
-        # broadcast-join when small, co-hashed shuffle join otherwise
-        doc_lens = spark.read.parquet(fmt.doc_stats_dir(index_dir)).select(
-            "doc_id", "doc_len"
-        )
-        return tokens.join(doc_lens.hint("broadcast"), "doc_id")
 
     # ---- stage: tokens_tmp (explode materialized ONLY when the segment
     # stage is split into multiple resumable units — a single-unit build
