@@ -282,6 +282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf_dir, "documents")
     )
 
+    def bpe_tokens(spark, sf_dir):
+        return textstats.bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+    q["bpe_tokens"] = bpe_tokens
+
     # ---- chunk split/merge round trip (SURVEY §2.3 J7, §2.8) ----
     def chunk_roundtrip(spark, sf_dir):
         from text_search_spark.operators.chunks import (
@@ -849,6 +854,13 @@ SELECT d.doc_id, md5(coalesce(j.norm, '')) AS fp, m.min_shingle
 FROM documents d
 LEFT JOIN joined j ON d.doc_id = j.doc_id
 LEFT JOIN minsh m ON d.doc_id = m.doc_id
+"""
+
+    o["bpe_tokens"] = """
+SELECT doc_id, CAST(length(regexp_extract_all(text,
+  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS INTEGER)
+  AS n_bpe_tokens
+FROM documents
 """
 
     o["chunk_roundtrip"] = f"""

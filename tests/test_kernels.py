@@ -144,3 +144,17 @@ def test_is_overlap_basic():
     ok, d = is_overlap(ranges, indexes, (10.5, 19.0), 3, overlap_ratio=0.25)
     assert (ok, d) == (False, None)
     assert len(ranges) == 3
+
+
+def test_get_nice_alignments():
+    from text_search_spark.kernels import get_nice_alignments
+
+    q = [1, 2, 3, 4]
+    t = [1, 5, 3, 4, 6, 7, 1, 2, 4]
+    dist, aligns = levenshtein_distance(q, t, mode="infix")
+    outs = get_nice_alignments(aligns, q, t)
+    assert len(outs) == 2
+    top, mid, bot = outs[0].split("\n")
+    assert "*" in mid  # the substitution marked
+    assert top.split() == ["1", "2", "3", "4"]
+    assert bot.split() == ["1", "5", "3", "4"]

@@ -271,3 +271,40 @@ def is_overlap(
     ranges.insert(idx, query)
     indexes.insert(idx, segment_index)
     return False, None
+
+
+def get_nice_alignments(alignments, query, target):
+    """Pretty-print (start, end, align_str) items like the reference's
+    textsearch.get_nice_alignments: three lines per segment — query symbols,
+    operation markers (space for C, * for S, + for I, - for D), target
+    symbols. Contract: /root/reference/textsearch/python/textsearch/utils.py
+    (display helper; format kept human-oriented, pinned loosely)."""
+    out = []
+    q = list(query)
+    t = list(target)
+    for start, end, align in alignments:
+        qi, ti = 0, start
+        top, mid, bot = [], [], []
+        for op in align:
+            if op in ("C", "S"):
+                a, b = str(q[qi]), str(t[ti])
+                w = max(len(a), len(b))
+                top.append(a.rjust(w))
+                bot.append(b.rjust(w))
+                mid.append((" " if op == "C" else "*").rjust(w))
+                qi += 1
+                ti += 1
+            elif op == "I":
+                a = str(q[qi])
+                top.append(a)
+                bot.append(" " * len(a))
+                mid.append("+".rjust(len(a)))
+                qi += 1
+            else:  # D
+                b = str(t[ti])
+                top.append(" " * len(b))
+                bot.append(b)
+                mid.append("-".rjust(len(b)))
+                ti += 1
+        out.append(" ".join(top) + chr(10) + " ".join(mid) + chr(10) + " ".join(bot))
+    return out

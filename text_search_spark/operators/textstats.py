@@ -104,3 +104,21 @@ def doc_fingerprint(
         F.md5(F.array_join(toks, " ")).alias("fp"),
         min_sh.alias("min_shingle"),
     )
+
+
+# BPE-ish segmentation regex: word pieces = runs of letters, runs of
+# digits, or single non-space symbols — the classic pre-tokenizer shape
+# (GPT-2-style coarse split without merges). Portable across Java regex /
+# RE2 / Python re.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bpe_tokens) — whitespace-free piece count via regexp_count of
+    BPE_RE (JVM-side, no explode)."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).alias("n_bpe_tokens"),
+    )
