@@ -105,3 +105,33 @@ def test_filter_pushdown_on_documents(spark):
     plan = formatted_plan(q)
     assert "PushedFilters" in plan
     assert "lang" in plan.split("PushedFilters", 1)[1].splitlines()[0]
+
+
+def test_no_tokenizer_above_generate(spark, tmp_path):
+    """Regression guard: the tokenizer expression must never appear in an
+    operator ABOVE the posexplode Generate (Catalyst's CollapseProject can
+    inline e.g. size(tokens) there, re-evaluating the tokenizer once per
+    GENERATED ROW — a silent ~100x slowdown we hit in development)."""
+    import text_search_spark.index.build as B
+    from text_search_spark.index import format as ixfmt
+
+    p = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(i, f"word{i} text here", str(i)) for i in range(20)],
+        "doc_id long, text string, url string",
+    ).write.parquet(p)
+    corpus = B.prepare_corpus(spark.read.parquet(p), doc_id_col="doc_id")
+    ix = str(tmp_path / "ix")
+    B.build_index(spark, corpus, ix, n_buckets=2, n_shards=2, bucket_groups=1)
+    # rebuild the exploded plan the way build_index does and inspect it
+    from pyspark.sql import functions as F
+    from text_search_spark.textnorm import spark_tokens
+
+    toks = corpus.select(
+        "doc_id", F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term")
+    )
+    dl = spark.read.parquet(ixfmt.doc_stats_dir(ix)).select("doc_id", "doc_len")
+    joined = toks.join(dl.hint("broadcast"), "doc_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    above_generate = plan.split("Generate", 1)[0]
+    assert "regexp_replace" not in above_generate

@@ -417,15 +417,17 @@ def build_index(
         checkpoint("doc_stats")
 
     def exploded_tokens() -> DataFrame:
-        # doc_len rides along from the same tokens array the explode uses —
-        # one projection, no join (scoring needs dl per posting; computing
-        # it inline beats broadcast-joining doc_stats back in)
-        toks = spark_tokens(F.col("text"))
-        return (
-            corpus.select(
+        # NOTE: doc_len deliberately joins back from doc_stats instead of
+        # computing F.size(toks) inline next to the posexplode: Catalyst
+        # collapses the size() projection ABOVE the Generate, re-running
+        # the whole tokenizer expression once per GENERATED ROW (~doc_len
+        # times per doc) — a silent ~100x plan regression, pinned by
+        # tests/test_plans.py::test_no_tokenizer_above_generate.
+        tokens = (
+            corpus.select("doc_id", F.col("text"))
+            .select(
                 "doc_id",
-                F.size(toks).alias("doc_len"),
-                F.posexplode(toks).alias("pos", "term"),
+                F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
             )
             .withColumn(
                 "term_bucket",
@@ -436,6 +438,10 @@ def build_index(
                 F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
             )
         )
+        doc_lens = spark.read.parquet(fmt.doc_stats_dir(index_dir)).select(
+            "doc_id", "doc_len"
+        )
+        return tokens.join(doc_lens.hint("broadcast"), "doc_id")
 
     # ---- stage: tokens_tmp (explode materialized ONLY when the segment
     # stage is split into multiple resumable units — a single-unit build
