@@ -243,6 +243,19 @@ def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     )
 
 
+# max rows per OUTPUT pandas frame yielded from a UDF. One yielded frame
+# becomes one Arrow record batch = one large socket write; unbounded
+# output batches (tens of MB of posting blobs) can deadlock the
+# bidirectional JVM<->worker pipe when both sides block on full send
+# buffers. Keep output batches modest.
+_OUT_ROWS = 128
+
+
+def _sliced(df: pd.DataFrame) -> Iterator[pd.DataFrame]:
+    for s in range(0, len(df), _OUT_ROWS):
+        yield df.iloc[s : s + _OUT_ROWS]
+
+
 def _segment_builder(avgdl: float):
     """Streaming mapInPandas fn: sorted (term_bucket, shard, term, doc_id,
     doc_len, pos) rows -> one segment row per (term, shard) group.
@@ -273,14 +286,16 @@ def _segment_builder(avgdl: float):
                     )[-1]
                 )
                 if last_start > 0:
-                    yield _build_chunk(chunk.iloc[:last_start], avgdl)
+                    yield from _sliced(
+                        _build_chunk(chunk.iloc[:last_start], avgdl)
+                    )
                     pending = [chunk.iloc[last_start:]]
                 else:
                     pending = [chunk]
                 pending_rows = len(pending[0])
         if pending_rows:
             chunk = pd.concat(pending, ignore_index=True)
-            yield _build_chunk(chunk, avgdl)
+            yield from _sliced(_build_chunk(chunk, avgdl))
 
     return build
 

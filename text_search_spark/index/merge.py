@@ -120,12 +120,16 @@ def merge_shards(
                     )
                 cur_rows.append((b["postings"].iat[i], b["positions"].iat[i]))
         flush()
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "term_bucket", "term", "shard", "df_part", "cf_part",
-                "postings", "positions", "blockmax", "bm_avgdl",
-            ],
+        from .build import _sliced  # bounded output batches
+
+        yield from _sliced(
+            pd.DataFrame(
+                out,
+                columns=[
+                    "term_bucket", "term", "shard", "df_part", "cf_part",
+                    "postings", "positions", "blockmax", "bm_avgdl",
+                ],
+            )
         )
 
     schema = (
