@@ -106,13 +106,25 @@ def check_doc_id_unique(corpus: DataFrame) -> None:
 _CHUNK_ROWS = 262_144
 
 
-def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+def _build_chunk_arrays(
+    codes: np.ndarray,
+    shard: np.ndarray,
+    doc_id: np.ndarray,
+    doc_len: np.ndarray,
+    pos: np.ndarray,
+    bucket: np.ndarray,
+    avgdl: float,
+):
     """Fully vectorized segment build for a sorted chunk containing only
     COMPLETE (term, shard) groups — emits the v2 block-skippable format
     (codec.py): block-structured postings (doc/tf/dl), a SEPARATE positions
     sidecar (scoring never reads position bytes), and the block-max
     directory. One varbyte pass for the whole chunk; per-group cost is a
-    byte-slice + small header assembly."""
+    byte-slice + small header assembly.
+
+    `codes` are chunk-local dense term codes (Arrow dictionary indices —
+    term STRINGS never become Python objects on this path). Returns
+    (g_start_rows, columns-dict-without-term)."""
     from ..codec import (
         _BM_DTYPE,
         _HDR_DTYPE,
@@ -122,15 +134,7 @@ def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
         varbyte_encode_with_sizes,
     )
 
-    term = batch["term"].to_numpy()
-    shard = batch["shard"].to_numpy(np.int64)
-    doc_id = batch["doc_id"].to_numpy(np.int64)
-    doc_len = batch["doc_len"].to_numpy(np.int64)
-    pos = batch["pos"].to_numpy(np.int64)
-    bucket = batch["term_bucket"].to_numpy(np.int64)
     n = doc_id.size
-
-    codes = pd.factorize(term, sort=False)[0].astype(np.int64)
     gchange = np.concatenate(
         [[True], (codes[1:] != codes[:-1]) | (shard[1:] != shard[:-1])]
     )
@@ -228,26 +232,22 @@ def _build_chunk(batch: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     bm_start = blk_off[:-1] * bm_item
     bm_end = blk_off[1:] * bm_item
 
-    return pd.DataFrame(
-        {
-            "term_bucket": bucket[g_start_rows].astype(np.int32),
-            "term": term[g_start_rows],
-            "shard": shard[g_start_rows].astype(np.int32),
-            "df_part": nd.astype(np.int64),
-            "cf_part": rows_per_g.astype(np.int64),
-            "postings": postings_col,
-            "positions": positions_col,
-            "blockmax": [bm_bytes[s:e] for s, e in zip(bm_start, bm_end)],
-            "bm_avgdl": np.full(G, avgdl, dtype=np.float64),
-        }
-    )
+    return g_start_rows, {
+        "term_bucket": bucket[g_start_rows].astype(np.int32),
+        "shard": shard[g_start_rows].astype(np.int32),
+        "df_part": nd.astype(np.int64),
+        "cf_part": rows_per_g.astype(np.int64),
+        "postings": postings_col,
+        "positions": positions_col,
+        "blockmax": [bm_bytes[s:e] for s, e in zip(bm_start, bm_end)],
+        "bm_avgdl": np.full(G, avgdl, dtype=np.float64),
+    }
 
 
-# max rows per OUTPUT pandas frame yielded from a UDF. One yielded frame
-# becomes one Arrow record batch = one large socket write; unbounded
-# output batches (tens of MB of posting blobs) can deadlock the
-# bidirectional JVM<->worker pipe when both sides block on full send
-# buffers. Keep output batches modest.
+# max rows per OUTPUT Arrow record batch yielded from a UDF. One yielded
+# batch = one large socket write; unbounded output batches (tens of MB of
+# posting blobs) can deadlock the bidirectional JVM<->worker pipe when
+# both sides block on full send buffers. Keep output batches modest.
 _OUT_ROWS = 128
 
 
@@ -256,46 +256,118 @@ def _sliced(df: pd.DataFrame) -> Iterator[pd.DataFrame]:
         yield df.iloc[s : s + _OUT_ROWS]
 
 
-def _segment_builder(avgdl: float):
-    """Streaming mapInPandas fn: sorted (term_bucket, shard, term, doc_id,
-    doc_len, pos) rows -> one segment row per (term, shard) group.
-    Accumulates Arrow batches into chunks, holds back the possibly-
-    incomplete trailing group, and flushes each chunk vectorized."""
+_SEG_ARROW_SCHEMA = None
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: List[pd.DataFrame] = []
+
+def _seg_arrow_schema():
+    import pyarrow as pa
+
+    global _SEG_ARROW_SCHEMA
+    if _SEG_ARROW_SCHEMA is None:
+        _SEG_ARROW_SCHEMA = pa.schema(
+            [
+                ("term_bucket", pa.int32()),
+                ("term", pa.string()),
+                ("shard", pa.int32()),
+                ("df_part", pa.int64()),
+                ("cf_part", pa.int64()),
+                ("postings", pa.binary()),
+                ("positions", pa.binary()),
+                ("blockmax", pa.binary()),
+                ("bm_avgdl", pa.float64()),
+            ]
+        )
+    return _SEG_ARROW_SCHEMA
+
+
+def _segment_builder(avgdl: float):
+    """Streaming mapInArrow fn: sorted (term_bucket, shard, term, doc_id,
+    doc_len, pos) record batches -> one segment row per (term, shard)
+    group. Arrow-native: term strings stay in Arrow buffers (dictionary-
+    encoded in C++), never materialized as Python objects; int columns are
+    zero-copy numpy views. Accumulates batches into chunks, holds back the
+    possibly-incomplete trailing group, flushes vectorized, and yields
+    bounded (<= _OUT_ROWS) output batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = _seg_arrow_schema()
+
+    def flush(tbl: "pa.Table") -> Iterator["pa.RecordBatch"]:
+        enc = pc.dictionary_encode(
+            tbl.column("term").combine_chunks()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        col = lambda name: (
+            tbl.column(name)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        g_start_rows, cols = _build_chunk_arrays(
+            codes,
+            col("shard"),
+            col("doc_id"),
+            col("doc_len"),
+            col("pos"),
+            col("term_bucket"),
+            avgdl,
+        )
+        terms = enc.dictionary.take(pa.array(codes[g_start_rows]))
+        G = len(g_start_rows)
+        for st in range(0, G, _OUT_ROWS):
+            en = min(st + _OUT_ROWS, G)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["term_bucket"][st:en], pa.int32()),
+                    terms.slice(st, en - st).combine_chunks()
+                    if hasattr(terms, "combine_chunks")
+                    else terms.slice(st, en - st),
+                    pa.array(cols["shard"][st:en], pa.int32()),
+                    pa.array(cols["df_part"][st:en], pa.int64()),
+                    pa.array(cols["cf_part"][st:en], pa.int64()),
+                    pa.array(cols["postings"][st:en], pa.binary()),
+                    pa.array(cols["positions"][st:en], pa.binary()),
+                    pa.array(cols["blockmax"][st:en], pa.binary()),
+                    pa.array(cols["bm_avgdl"][st:en], pa.float64()),
+                ],
+                schema=schema,
+            )
+
+    def last_group_start(tbl: "pa.Table") -> int:
+        enc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        sh = (
+            tbl.column("shard")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        change = np.flatnonzero(
+            np.concatenate(
+                [[True], (codes[1:] != codes[:-1]) | (sh[1:] != sh[:-1])]
+            )
+        )
+        return int(change[-1])
+
+    def build(batches):
+        pending: List["pa.RecordBatch"] = []
         pending_rows = 0
         for batch in batches:
-            if not len(batch):
+            if batch.num_rows == 0:
                 continue
             pending.append(batch)
-            pending_rows += len(batch)
+            pending_rows += batch.num_rows
             if pending_rows >= _CHUNK_ROWS:
-                chunk = pd.concat(pending, ignore_index=True)
-                # hold back the trailing (possibly incomplete) group
-                t = chunk["term"].to_numpy()
-                sh = chunk["shard"].to_numpy()
-                last_start = int(
-                    np.flatnonzero(
-                        np.concatenate(
-                            [
-                                [True],
-                                (t[1:] != t[:-1]) | (sh[1:] != sh[:-1]),
-                            ]
-                        )
-                    )[-1]
-                )
-                if last_start > 0:
-                    yield from _sliced(
-                        _build_chunk(chunk.iloc[:last_start], avgdl)
-                    )
-                    pending = [chunk.iloc[last_start:]]
+                tbl = pa.Table.from_batches(pending)
+                ls = last_group_start(tbl)
+                if ls > 0:
+                    yield from flush(tbl.slice(0, ls))
+                    pending = tbl.slice(ls).to_batches()
                 else:
-                    pending = [chunk]
-                pending_rows = len(pending[0])
+                    pending = tbl.to_batches()
+                pending_rows = sum(b.num_rows for b in pending)
         if pending_rows:
-            chunk = pd.concat(pending, ignore_index=True)
-            yield from _sliced(_build_chunk(chunk, avgdl))
+            yield from flush(pa.Table.from_batches(pending))
 
     return build
 
@@ -502,7 +574,7 @@ def build_index(
                 max(len(buckets) * n_shards, 1), "term_bucket", "shard"
             )
             .sortWithinPartitions("term", "shard", "doc_id", "pos")
-            .mapInPandas(_segment_builder(man.avgdl), schema=seg_schema)
+            .mapInArrow(_segment_builder(man.avgdl), schema=seg_schema)
         )
         (
             seg.write.mode("overwrite")

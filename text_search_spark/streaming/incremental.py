@@ -98,7 +98,7 @@ def _append_batch(
             "shard",
         )
         .sortWithinPartitions("term", "shard", "doc_id", "pos")
-        .mapInPandas(_segment_builder(batch_avgdl), schema=seg_schema)
+        .mapInArrow(_segment_builder(batch_avgdl), schema=seg_schema)
     )
     seg.write.mode("append").partitionBy("term_bucket").parquet(
         fmt.segments_dir(index_dir)
