@@ -79,14 +79,22 @@ class IndexReader:
             )
         self.manifest = m
         self._df_cache: Dict[str, int] = {}
+        self._segments_df: Optional[DataFrame] = None
 
     def refresh(self) -> None:
         """Re-read the manifest (after incremental appends)."""
         self.manifest = fmt.load_manifest(self.index_dir)
         self._df_cache.clear()
+        self._segments_df = None
 
     def segments(self) -> DataFrame:
-        return self.spark.read.parquet(fmt.segments_dir(self.index_dir))
+        # reuse one DataFrame across queries: the file listing + parquet
+        # footer reads happen once per reader, not once per query
+        if self._segments_df is None:
+            self._segments_df = self.spark.read.parquet(
+                fmt.segments_dir(self.index_dir)
+            )
+        return self._segments_df
 
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(fmt.term_stats_dir(self.index_dir))
