@@ -121,6 +121,10 @@ def _bm25_engine_query(mode: str, n_terms: int):
         terms = _top_terms(spark, ix, n_terms)
         if mode == "single":
             specs = [QuerySpec(t, [t], "or") for t in terms]
+        elif mode == "near":
+            specs = [
+                QuerySpec(f"near:{'+'.join(terms)}", terms, "near", window=6)
+            ]
         else:
             specs = [QuerySpec(f"{mode}:{'+'.join(terms)}", terms, mode)]
         out = bm25_topk_df(spark, ix, specs, k=10)
@@ -196,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_single"] = _bm25_engine_query("single", 5)
     q["bm25_and2"] = _bm25_engine_query("and", 2)
     q["bm25_or2"] = _bm25_engine_query("or", 2)
+    q["bm25_near2"] = _bm25_engine_query("near", 2)
 
     # ---- phrase/positional op (SURVEY §2.6 posting intersection) ----
     def top_bigram_matches(spark, sf_dir):
@@ -685,6 +690,30 @@ persum AS (
   GROUP BY t.doc_id {having}
 ),
 ranked AS (SELECT {_qid.format(m=m)} AS query_id, row_number() OVER
+  (ORDER BY score DESC, doc_id ASC) AS rank, doc_id,
+  round(score, 6) AS score_r FROM persum)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    o["bm25_near2"] = f"""
+WITH {_BM25_CTES},
+nearq AS (SELECT DISTINCT a.doc_id FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id
+  WHERE a.term = (SELECT term FROM qterms WHERE r = 1)
+    AND b.term = (SELECT term FROM qterms WHERE r = 2)
+    AND abs(a.pos - b.pos) <= 6),
+persum AS (
+  SELECT t.doc_id, sum({partial}) AS score
+  FROM {_two_terms} qt
+  JOIN tf t ON t.term = qt.term
+  JOIN dfs d ON d.term = qt.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  JOIN nearq nq ON nq.doc_id = t.doc_id
+  GROUP BY t.doc_id
+),
+ranked AS (SELECT (SELECT 'near:' || string_agg(term, '+' ORDER BY r)
+  FROM qterms WHERE r <= 2) AS query_id, row_number() OVER
   (ORDER BY score DESC, doc_id ASC) AS rank, doc_id,
   round(score, 6) AS score_r FROM persum)
 SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_r

@@ -41,3 +41,37 @@ def test_align_spans_df(spark):
     got = out[("q1", 1)]
     doc = "some text with a needle phrase inside"
     assert doc[got.t_start : got.t_end + 1] == "needle phrase"
+
+
+def test_snippets(spark, tmp_path):
+    from text_search_spark.corpus import NEEDLES, generate_pages
+    from text_search_spark.index.build import (
+        build_index,
+        hash_doc_id_py,
+        prepare_corpus,
+    )
+    from text_search_spark.index.query import QuerySpec
+    from text_search_spark.operators.snippets import search_with_snippets
+
+    pages = generate_pages(300)
+    pdf = spark.createDataFrame(
+        [(p.url, p.text) for p in pages], "url string, text string"
+    )
+    corpus = prepare_corpus(pdf, url_col="url")
+    ix = str(tmp_path / "ix")
+    build_index(spark, corpus, ix, n_buckets=4, n_shards=2, bucket_groups=1)
+
+    specs = [QuerySpec("q0", NEEDLES[0].split(), "phrase")]
+    out = search_with_snippets(spark, ix, specs, corpus, k=5).collect()
+    # phrase hits exist in this corpus slice and the snippet contains the
+    # needle tokens
+    if out:
+        for r in out:
+            assert r.n_hits >= 1
+            assert NEEDLES[0].split()[0].upper() in r.snippet
+    # an OR query over a common word must produce ranked snippets
+    out2 = search_with_snippets(
+        spark, ix, [QuerySpec("q1", ["the"], "or")], corpus, k=3
+    ).collect()
+    assert len(out2) == 3
+    assert all("THE" in r.snippet for r in out2)

@@ -125,3 +125,33 @@ def test_pruned_equals_unpruned(spark, built):
         )
 
     assert rows(True) == rows(False)
+
+
+def test_near_mode_vs_oracle(spark, built):
+    index_dir, oracle_ix, _ = built
+    from text_search_spark.corpus import NEEDLES
+
+    # near queries: needle words (co-occur within a tight window in ~1% of
+    # docs) and common Zipf heads at a generous window
+    specs, expect = [], {}
+    cases = [
+        ("n0", NEEDLES[0].split(), 4),
+        ("n1", NEEDLES[3].split(), 4),
+        ("n2", ["the", "of"], 3),
+        ("n3", ["word00001", "word00002"], 12),
+    ]
+    for qid, terms, w in cases:
+        specs.append(QuerySpec(qid, terms, "near", window=w))
+        expect[qid] = bm25_topk(oracle_ix, terms, k=10, mode="near", window=w)
+    out = bm25_topk_df(spark, index_dir, specs, k=10).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    n_hits = 0
+    for qid, exp in expect.items():
+        mine = sorted(got.get(qid, []))
+        assert [d for _, d, _ in mine] == [d for d, _ in exp], qid
+        for (_, _, sg), (_, se) in zip(mine, exp):
+            assert abs(sg - se) <= 1e-6
+        n_hits += len(exp)
+    assert n_hits > 0

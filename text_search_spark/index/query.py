@@ -62,7 +62,8 @@ B = 0.75
 class QuerySpec:
     query_id: str
     terms: List[str]  # raw; normalized internally
-    mode: str = "or"  # or | and | phrase
+    mode: str = "or"  # or | and | phrase | near
+    window: int = 8  # near mode: max token span covering all terms
 
 
 class IndexReader:
@@ -136,7 +137,7 @@ def _normalize_queries(queries: Sequence[QuerySpec]) -> List[QuerySpec]:
     out = []
     for q in queries:
         terms = [nt for t in q.terms for nt in tokenize(t)]
-        out.append(QuerySpec(q.query_id, terms, q.mode))
+        out.append(QuerySpec(q.query_id, terms, q.mode, q.window))
     return out
 
 
@@ -339,6 +340,62 @@ def _phrase_docs(
     return all_docs[np.unique(inter >> 22)]
 
 
+def _near_docs(
+    tp: Dict[str, "_TermPostings"], terms: List[str], window: int
+) -> np.ndarray:
+    """Docs (within this shard) where one occurrence of every distinct term
+    fits in a token window <= `window` (minimal-covering-window sweep per
+    candidate doc; candidates pre-filtered by the AND intersection)."""
+    uterms = list(dict.fromkeys(terms))
+    for t in uterms:
+        if t not in tp:
+            return np.empty(0, dtype=np.int64)
+    dec = {t: tp[t].positions_full() for t in uterms}
+    docs = None
+    for t in uterms:
+        d = dec[t][0]
+        docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
+        if docs.size == 0:
+            return np.empty(0, dtype=np.int64)
+    m = len(uterms)
+    out = []
+    # per-term, per-candidate position slices
+    slices = {}
+    for t in uterms:
+        d, tf, flat = dec[t]
+        starts = np.concatenate([[0], np.cumsum(tf)])[:-1]
+        idx = np.searchsorted(d, docs)
+        slices[t] = (starts[idx], tf[idx], flat)
+    for j, doc in enumerate(docs):
+        events = []
+        for i, t in enumerate(uterms):
+            s, tf, flat = slices[t][0][j], slices[t][1][j], slices[t][2]
+            events.extend((int(p), i) for p in flat[s : s + tf])
+        events.sort()
+        count = [0] * m
+        have = 0
+        lo = 0
+        ok = False
+        for hi in range(len(events)):
+            ti = events[hi][1]
+            count[ti] += 1
+            if count[ti] == 1:
+                have += 1
+            while have == m:
+                if events[hi][0] - events[lo][0] <= window:
+                    ok = True
+                    break
+                count[events[lo][1]] -= 1
+                if count[events[lo][1]] == 0:
+                    have -= 1
+                lo += 1
+            if ok:
+                break
+        if ok:
+            out.append(int(doc))
+    return np.asarray(out, dtype=np.int64)
+
+
 def _shard_scorer(plan, avgdl: float, k: int, prune: bool):
     """applyInPandas fn for one shard group.
 
@@ -360,11 +417,13 @@ def _shard_scorer(plan, avgdl: float, k: int, prune: bool):
         out_q: List[str] = []
         out_d: List[int] = []
         out_s: List[float] = []
-        for query_id, mode, terms, idfs, phrase_seq in plan:
+        for query_id, mode, terms, idfs, phrase_seq, window in plan:
             present = [t for t in terms if t in tp]
             if not present:
                 continue
-            if mode in ("and", "phrase") and len(present) != len(terms):
+            if mode in ("and", "phrase", "near") and len(present) != len(
+                terms
+            ):
                 continue
             if mode == "and":
                 docs = None
@@ -379,6 +438,10 @@ def _shard_scorer(plan, avgdl: float, k: int, prune: bool):
                     continue
             elif mode == "phrase":
                 docs = _phrase_docs(tp, phrase_seq)
+                if docs.size == 0:
+                    continue
+            elif mode == "near":
+                docs = _near_docs(tp, terms, window)
                 if docs.size == 0:
                     continue
             elif prune and len(present) > 1:
@@ -432,8 +495,10 @@ def bm25_topk_df(
         if not terms:
             continue
         seq = q.terms if q.mode == "phrase" else None
-        need_pos = need_pos or q.mode == "phrase"
-        plan.append((q.query_id, q.mode, terms, [idf(t) for t in terms], seq))
+        need_pos = need_pos or q.mode in ("phrase", "near")
+        plan.append(
+            (q.query_id, q.mode, terms, [idf(t) for t in terms], seq, q.window)
+        )
 
     hit_terms = [t for t in all_terms if dfs.get(t, 0) > 0]
     if not plan or not hit_terms:

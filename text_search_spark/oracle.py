@@ -97,11 +97,59 @@ def _phrase_docs(index: OracleIndex, terms: List[str]) -> List[int]:
     return out
 
 
+def _near_docs(
+    index: OracleIndex, terms: List[str], window: int
+) -> List[int]:
+    """Docs where some occurrence of every distinct term fits in a token
+    window of size <= window (max pos - min pos <= window)."""
+    uterms = list(dict.fromkeys(terms))
+    if not uterms:
+        return []
+    docs = None
+    for t in uterms:
+        d = set(index.positions.get(t, {}))
+        docs = d if docs is None else docs & d
+        if not docs:
+            return []
+    out = []
+    for doc_id in docs:
+        # minimal covering window over the merged position lists
+        events = sorted(
+            (p, i)
+            for i, t in enumerate(uterms)
+            for p in index.positions[t][doc_id]
+        )
+        from collections import defaultdict
+
+        count: Dict[int, int] = defaultdict(int)
+        have = 0
+        lo = 0
+        ok = False
+        for hi in range(len(events)):
+            count[events[hi][1]] += 1
+            if count[events[hi][1]] == 1:
+                have += 1
+            while have == len(uterms):
+                if events[hi][0] - events[lo][0] <= window:
+                    ok = True
+                    break
+                count[events[lo][1]] -= 1
+                if count[events[lo][1]] == 0:
+                    have -= 1
+                lo += 1
+            if ok:
+                break
+        if ok:
+            out.append(doc_id)
+    return out
+
+
 def bm25_topk(
     index: OracleIndex,
     terms: Sequence[str],
     k: int = 10,
     mode: str = "or",
+    window: int = 8,
 ) -> List[Tuple[int, float]]:
     """Returns [(doc_id, score)] of length <= k, total-ordered."""
     # query terms run through the SAME canonical tokenizer as documents,
@@ -115,6 +163,8 @@ def bm25_topk(
 
     if mode == "phrase":
         allowed = set(_phrase_docs(index, list(terms)))
+    elif mode == "near":
+        allowed = set(_near_docs(index, list(terms), window))
     elif mode == "and":
         allowed = None
         for t in uterms:
