@@ -1,0 +1,94 @@
+"""Edge cases: empty/blank documents, tiny corpora, zero-hit queries."""
+
+import pytest
+
+from text_search_spark.index import format as fmt
+from text_search_spark.index.build import build_index, prepare_corpus
+from text_search_spark.index.query import QuerySpec, bm25_topk_df
+from text_search_spark.oracle import bm25_topk, build_oracle_index
+
+
+def test_blank_and_punct_only_docs(spark, tmp_path):
+    docs = [
+        (1, "real words appear here"),
+        (2, ""),
+        (3, "   \t  "),
+        (4, "...!!!"),
+        (5, "words appear twice words"),
+    ]
+    pdf = spark.createDataFrame(docs, "doc_id long, text string")
+    ix = str(tmp_path / "ix")
+    build_index(
+        spark,
+        prepare_corpus(pdf, doc_id_col="doc_id"),
+        ix,
+        n_buckets=2,
+        n_shards=2,
+        bucket_groups=1,
+    )
+    man = fmt.load_manifest(ix)
+    # blank docs count in N and avgdl exactly as the oracle counts them
+    oracle = build_oracle_index(docs)
+    assert man.n_docs == 5 == oracle.n_docs
+    assert man.avgdl == oracle.avgdl
+
+    out = bm25_topk_df(spark, ix, [QuerySpec("q", ["words"], "or")], k=10)
+    got = [(r.doc_id, r.score) for r in out.orderBy("rank").collect()]
+    exp = bm25_topk(oracle, ["words"], k=10)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, sg), (_, se) in zip(got, exp):
+        assert abs(sg - se) <= 1e-6
+
+
+def test_single_doc_corpus(spark, tmp_path):
+    pdf = spark.createDataFrame(
+        [(7, "only one document")], "doc_id long, text string"
+    )
+    ix = str(tmp_path / "ix1")
+    build_index(
+        spark,
+        prepare_corpus(pdf, doc_id_col="doc_id"),
+        ix,
+        n_buckets=2,
+        n_shards=2,
+        bucket_groups=1,
+    )
+    out = bm25_topk_df(
+        spark, ix, [QuerySpec("q", ["document"], "or")], k=5
+    ).collect()
+    assert [r.doc_id for r in out] == [7]
+
+
+def test_huge_tf_and_long_positions(spark, tmp_path):
+    # one doc repeating a term 3000 times exercises multi-block postings
+    text = " ".join(["rare unique"] + ["common"] * 3000)
+    pdf = spark.createDataFrame(
+        [(1, text), (2, "common rare"), (3, "unique other words")],
+        "doc_id long, text string",
+    )
+    ix = str(tmp_path / "ix2")
+    build_index(
+        spark,
+        prepare_corpus(pdf, doc_id_col="doc_id"),
+        ix,
+        n_buckets=2,
+        n_shards=2,
+        bucket_groups=1,
+    )
+    oracle = build_oracle_index(
+        [(1, text), (2, "common rare"), (3, "unique other words")]
+    )
+    for terms, mode in [
+        (["common"], "or"),
+        (["rare", "unique"], "and"),
+        (["rare", "unique"], "phrase"),
+        (["common", "rare"], "near"),
+    ]:
+        out = bm25_topk_df(
+            spark, ix, [QuerySpec("q", terms, mode)], k=5
+        ).collect()
+        got = sorted((r.rank, r.doc_id, r.score) for r in out)
+        exp = bm25_topk(oracle, terms, k=5, mode=mode)
+        assert [d for _, d, _ in got] == [d for d, _ in exp], (terms, mode)
+        for (_, _, sg), (_, se) in zip(got, exp):
+            assert abs(sg - se) <= 1e-6
