@@ -574,6 +574,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal_features
 
+    def html_extract(spark, sf_dir):
+        # S5 extractor: wrap each doc's text in the deterministic HTML
+        # template JVM-side, extract via Arrow UDF with the SHARED pure
+        # kernel (byte-identity pinned in tests/test_textnorm.py), verify
+        # round trip as a fingerprint relation (rows-only driver check)
+        import pandas as pd
+
+        from text_search_spark.textnorm import extract_text
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><title>t</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p><script>skip()</script></body></html>"),
+            ).alias("html"),
+            "text",
+        )
+
+        def ex(batches):
+            for b in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": b["doc_id"],
+                        "ok": [
+                            extract_text(h) == t
+                            for h, t in zip(b["html"], b["text"])
+                        ],
+                    }
+                )
+
+        return d.mapInPandas(ex, schema="doc_id long, ok boolean")
+
+    q["html_extract"] = html_extract
+
+    def snippets_demo(spark, sf_dir):
+        from text_search_spark.index.query import QuerySpec
+        from text_search_spark.operators.snippets import search_with_snippets
+
+        ix = _ensure_index(spark, sf_dir)
+        terms = _top_terms(spark, ix, 3)
+        corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        specs = [QuerySpec(t, [t], "or") for t in terms]
+        return search_with_snippets(spark, ix, specs, corpus, k=5)
+
+    q["snippets_demo"] = snippets_demo
+
     # ---- reference-kernel demos (non-SQL; golden-pinned in pytest) ----
     def kernel_suffix_array(spark, sf_dir):
         from text_search_spark.kernels import create_suffix_array
