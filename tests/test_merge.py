@@ -19,7 +19,7 @@ def _fingerprint(spark, d):
         tuple(r)
         for r in spark.read.parquet(fmt.segments_dir(d))
         .select(
-            "term",
+            "term_id",
             "shard",
             "df_part",
             "cf_part",

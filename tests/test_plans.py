@@ -39,12 +39,15 @@ def small_index(spark, tmp_path_factory):
 def test_segments_scan_pushdown_and_pruning(spark, small_index):
     """Query-term filter reaches the parquet scan; term_bucket prunes
     directories; positions column NOT read for non-phrase queries."""
+    from text_search_spark.functions.xxhash import xxhash64_str
+
+    tid = xxhash64_str("THE")
     seg = spark.read.parquet(ixfmt.segments_dir(small_index))
     scan = seg.where(
-        F.col("term_bucket").isin([1]) & F.col("term").isin(["THE"])
-    ).select("shard", "term", "postings", "blockmax", "bm_avgdl")
+        F.col("term_bucket").isin([1]) & F.col("term_id").isin([tid])
+    ).select("shard", "term_id", "postings", "blockmax", "bm_avgdl")
     plan = formatted_plan(scan)
-    assert "PushedFilters" in plan and "THE" in plan
+    assert "PushedFilters" in plan and str(tid) in plan
     assert "PartitionFilters" in plan
     # column pruning: the positions column must not be in ReadSchema
     read_schema = [

@@ -24,14 +24,14 @@ def _index_fingerprint(spark, index_dir):
     seg = (
         spark.read.parquet(fmt.segments_dir(index_dir))
         .select(
-            "term",
+            "term_id",
             "shard",
             "df_part",
             "cf_part",
             F.md5(F.hex("postings")).alias("ph"),
             F.md5(F.hex("blockmax")).alias("bh"),
         )
-        .orderBy("term", "shard")
+        .orderBy("term_id", "shard")
         .collect()
     )
     ds = (
@@ -41,7 +41,7 @@ def _index_fingerprint(spark, index_dir):
     )
     ts = (
         spark.read.parquet(fmt.term_stats_dir(index_dir))
-        .orderBy("term")
+        .orderBy("term_id")
         .collect()
     )
     return [tuple(r) for r in seg], [tuple(r) for r in ds], [tuple(r) for r in ts]

@@ -267,7 +267,7 @@ def _seg_arrow_schema():
         _SEG_ARROW_SCHEMA = pa.schema(
             [
                 ("term_bucket", pa.int32()),
-                ("term", pa.string()),
+                ("term_id", pa.int64()),
                 ("shard", pa.int32()),
                 ("df_part", pa.int64()),
                 ("cf_part", pa.int64()),
@@ -281,31 +281,27 @@ def _seg_arrow_schema():
 
 
 def _segment_builder(avgdl: float):
-    """Streaming mapInArrow fn: sorted (term_bucket, shard, term, doc_id,
-    doc_len, pos) record batches -> one segment row per (term, shard)
-    group. Arrow-native: term strings stay in Arrow buffers (dictionary-
-    encoded in C++), never materialized as Python objects; int columns are
-    zero-copy numpy views. Accumulates batches into chunks, holds back the
-    possibly-incomplete trailing group, flushes vectorized, and yields
-    bounded (<= _OUT_ROWS) output batches."""
+    """Streaming mapInArrow fn: sorted (term_bucket, shard, term_id,
+    doc_id, doc_len, pos) record batches -> one segment row per
+    (term_id, shard) group. Arrow-native and string-free: every column is
+    an int, zero-copy to numpy. Accumulates batches into chunks, holds
+    back the possibly-incomplete trailing group, flushes vectorized, and
+    yields bounded (<= _OUT_ROWS) output batches."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     schema = _seg_arrow_schema()
 
     def flush(tbl: "pa.Table") -> Iterator["pa.RecordBatch"]:
-        enc = pc.dictionary_encode(
-            tbl.column("term").combine_chunks()
-        )
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         col = lambda name: (
             tbl.column(name)
             .combine_chunks()
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
+        term_ids = col("term_id")
         g_start_rows, cols = _build_chunk_arrays(
-            codes,
+            term_ids,
             col("shard"),
             col("doc_id"),
             col("doc_len"),
@@ -313,16 +309,14 @@ def _segment_builder(avgdl: float):
             col("term_bucket"),
             avgdl,
         )
-        terms = enc.dictionary.take(pa.array(codes[g_start_rows]))
+        g_term_ids = term_ids[g_start_rows]
         G = len(g_start_rows)
         for st in range(0, G, _OUT_ROWS):
             en = min(st + _OUT_ROWS, G)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(cols["term_bucket"][st:en], pa.int32()),
-                    terms.slice(st, en - st).combine_chunks()
-                    if hasattr(terms, "combine_chunks")
-                    else terms.slice(st, en - st),
+                    pa.array(g_term_ids[st:en], pa.int64()),
                     pa.array(cols["shard"][st:en], pa.int32()),
                     pa.array(cols["df_part"][st:en], pa.int64()),
                     pa.array(cols["cf_part"][st:en], pa.int64()),
@@ -335,8 +329,11 @@ def _segment_builder(avgdl: float):
             )
 
     def last_group_start(tbl: "pa.Table") -> int:
-        enc = pc.dictionary_encode(tbl.column("term").combine_chunks())
-        codes = enc.indices.to_numpy(zero_copy_only=False)
+        codes = (
+            tbl.column("term_id")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
         sh = (
             tbl.column("shard")
             .combine_chunks()
@@ -504,11 +501,14 @@ def build_index(
         checkpoint("doc_stats")
 
     def exploded_tokens() -> DataFrame:
-        # NOTE: doc_len deliberately joins back from doc_stats instead of
-        # computing F.size(toks) inline next to the posexplode: Catalyst
-        # collapses the size() projection ABOVE the Generate, re-running
-        # the whole tokenizer expression once per GENERATED ROW (~doc_len
-        # times per doc) — a silent ~100x plan regression, pinned by
+        # The big shuffle carries term_id = xxhash64(term), an int64 —
+        # never strings (~45% shuffle-volume cut; term<->id uniqueness is
+        # asserted by the vocab stage). NOTE: doc_len deliberately joins
+        # back from doc_stats instead of computing F.size(toks) inline
+        # next to the posexplode: Catalyst collapses the size() projection
+        # ABOVE the Generate, re-running the whole tokenizer expression
+        # once per GENERATED ROW (~doc_len times per doc) — a silent ~100x
+        # plan regression, pinned by
         # tests/test_plans.py::test_no_tokenizer_above_generate.
         tokens = (
             corpus.select("doc_id", F.col("text"))
@@ -516,9 +516,12 @@ def build_index(
                 "doc_id",
                 F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
             )
+            .select(
+                "doc_id", "pos", F.xxhash64("term").alias("term_id")
+            )
             .withColumn(
                 "term_bucket",
-                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+                F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"),
             )
             .withColumn(
                 "shard",
@@ -529,6 +532,36 @@ def build_index(
             "doc_id", "doc_len"
         )
         return tokens.join(doc_lens.hint("broadcast"), "doc_id")
+
+    # ---- stage: vocab (the term dictionary; distinct terms only, so the
+    # map-side-combined shuffle is tiny next to the posting shuffle) ----
+    if not man.stages.get("vocab"):
+        vocab = (
+            corpus.select(
+                F.explode(spark_tokens(F.col("text"))).alias("term")
+            )
+            .distinct()
+            .select(
+                "term",
+                F.xxhash64("term").alias("term_id"),
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                .cast("int")
+                .alias("term_bucket"),
+            )
+        )
+        vocab.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            fmt.vocab_dir(index_dir)
+        )
+        v = spark.read.parquet(fmt.vocab_dir(index_dir))
+        n_terms, n_ids = v.select(
+            F.count("*"), F.countDistinct("term_id")
+        ).first()
+        if n_terms != n_ids:
+            raise ValueError(
+                f"term_id collision: {n_terms} terms, {n_ids} ids — "
+                "switch to a 128-bit id"
+            )
+        checkpoint("vocab")
 
     # ---- stage: tokens_tmp (explode materialized ONLY when the segment
     # stage is split into multiple resumable units — a single-unit build
@@ -554,7 +587,7 @@ def build_index(
         list(range(g, n_buckets, bucket_groups)) for g in range(bucket_groups)
     ]
     seg_schema = (
-        "term_bucket int, term string, shard int, df_part long, "
+        "term_bucket int, term_id long, shard int, df_part long, "
         "cf_part long, postings binary, positions binary, "
         "blockmax binary, bm_avgdl double"
     )
@@ -573,7 +606,7 @@ def build_index(
             toks.repartition(
                 max(len(buckets) * n_shards, 1), "term_bucket", "shard"
             )
-            .sortWithinPartitions("term", "shard", "doc_id", "pos")
+            .sortWithinPartitions("term_id", "shard", "doc_id", "pos")
             .mapInArrow(_segment_builder(man.avgdl), schema=seg_schema)
         )
         (
@@ -601,16 +634,20 @@ def build_index(
         )
         checkpoint(stage_name)
 
-    # ---- stage: term_stats (small agg over segment rows) ----
+    # ---- stage: term_stats (small agg over segment rows ⋈ vocab) ----
     if not man.stages.get("term_stats"):
         seg = spark.read.parquet(fmt.segments_dir(index_dir))
+        vocab = spark.read.parquet(fmt.vocab_dir(index_dir)).select(
+            "term", "term_id"
+        )
         (
-            seg.groupBy("term", "term_bucket")
+            seg.groupBy("term_id", "term_bucket")
             .agg(
                 F.sum("df_part").alias("df"),
                 F.sum("cf_part").alias("cf"),
             )
-            .select("term", "df", "cf", "term_bucket")
+            .join(vocab, "term_id")
+            .select("term", "term_id", "df", "cf", "term_bucket")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(fmt.term_stats_dir(index_dir))

@@ -4,16 +4,24 @@ Layout under <index_dir>/ (all Parquet; Iceberg-style: immutable data files,
 directory partitioning, an explicit JSON manifest committed last as the
 atomicity point, and an append-only metrics table for lineage):
 
-  segments/term_bucket=NN/   (term string, shard int, df_part long,
+  segments/term_bucket=NN/   (term_id long, shard int, df_part long,
                               cf_part long, postings binary,
                               positions binary, blockmax binary,
                               bm_avgdl double)
+      term_id = xxhash64(term) — the big build shuffle carries an int64
+      key, never strings (~45% shuffle-volume cut); the query planner
+      computes term_id driver-side (functions/xxhash.py), so lookups need
+      no vocab join. Uniqueness term<->term_id is asserted at build.
       doc-sharded-within-term-partitioned posting segments. `shard` is a
       consistent hash of doc_id so every term's postings for a given doc
       land in the same shard -> query scoring is doc-sharded with no
       cross-term shuffle (see query.py).
   doc_stats/                 (doc_id long, url string, doc_len long)
-  term_stats/                (term string, df long, cf long, term_bucket int)
+  vocab/                     (term string, term_id long, term_bucket int)
+      distinct terms (the dictionary) — built from a map-side-combined
+      distinct pass, tiny next to the posting shuffle.
+  term_stats/                (term string, term_id long, df long, cf long,
+                              term_bucket int)
   metrics/                   (run_id, stage, unit, docs long, postings long,
                               bytes long, status, updated_at) — per-partition
       lineage + counters; append-only (north rule: metrics table).
@@ -31,7 +39,7 @@ from dataclasses import asdict, dataclass, field
 from typing import Dict, List, Optional
 
 
-FORMAT_VERSION = 2  # v2: block-skippable postings + positions sidecar
+FORMAT_VERSION = 3  # v3: int64 term_id shuffle/segments + vocab table
 
 
 @dataclass
@@ -86,6 +94,10 @@ def metrics_dir(index_dir: str) -> str:
 
 
 SEGMENT_SCHEMA = (
-    "term string, shard int, df_part long, cf_part long, "
+    "term_id long, shard int, df_part long, cf_part long, "
     "postings binary, positions binary, blockmax binary, bm_avgdl double"
 )
+
+
+def vocab_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "vocab")

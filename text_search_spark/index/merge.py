@@ -108,14 +108,14 @@ def merge_shards(
 
         for b in batches:
             for i in range(len(b)):
-                key = (b["term"].iat[i], int(b["new_shard"].iat[i]))
+                key = (int(b["term_id"].iat[i]), int(b["new_shard"].iat[i]))
                 if key != cur_key:
                     flush()
                     cur_key = key
                     cur_rows = []
                     cur_meta = (
                         int(b["term_bucket"].iat[i]),
-                        b["term"].iat[i],
+                        int(b["term_id"].iat[i]),
                         int(b["new_shard"].iat[i]),
                     )
                 cur_rows.append((b["postings"].iat[i], b["positions"].iat[i]))
@@ -126,14 +126,14 @@ def merge_shards(
             pd.DataFrame(
                 out,
                 columns=[
-                    "term_bucket", "term", "shard", "df_part", "cf_part",
+                    "term_bucket", "term_id", "shard", "df_part", "cf_part",
                     "postings", "positions", "blockmax", "bm_avgdl",
                 ],
             )
         )
 
     schema = (
-        "term_bucket int, term string, shard int, df_part long, "
+        "term_bucket int, term_id long, shard int, df_part long, "
         "cf_part long, postings binary, positions binary, "
         "blockmax binary, bm_avgdl double"
     )
@@ -143,7 +143,7 @@ def merge_shards(
             "term_bucket",
             "new_shard",
         )
-        .sortWithinPartitions("term", "new_shard", "shard")
+        .sortWithinPartitions("term_id", "new_shard", "shard")
         .mapInPandas(splice, schema=schema)
     )
     merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
@@ -153,6 +153,9 @@ def merge_shards(
     spark.read.parquet(fmt.doc_stats_dir(index_dir)).write.mode(
         "overwrite"
     ).parquet(fmt.doc_stats_dir(out_dir))
+    spark.read.parquet(fmt.vocab_dir(index_dir)).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(fmt.vocab_dir(out_dir))
     spark.read.parquet(fmt.term_stats_dir(index_dir)).write.mode(
         "overwrite"
     ).partitionBy("term_bucket").parquet(fmt.term_stats_dir(out_dir))

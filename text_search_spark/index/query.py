@@ -103,17 +103,26 @@ class IndexReader:
     def doc_stats(self) -> DataFrame:
         return self.spark.read.parquet(fmt.doc_stats_dir(self.index_dir))
 
+    def ids_for(self, terms: Sequence[str]) -> Dict[str, int]:
+        """term -> term_id via a driver-side XXH64 bit-identical to the
+        build's F.xxhash64 (tests/test_xxhash.py) — no Spark job, no
+        vocab join."""
+        from ..functions.xxhash import xxhash64_str
+
+        return {t: xxhash64_str(t) for t in set(terms)}
+
     def buckets_for(self, terms: Sequence[str]) -> Dict[str, int]:
-        """term -> term_bucket via a driver-side XXH64 bit-identical to the
-        build's F.xxhash64 (tests/test_xxhash.py) — no Spark job."""
-        from ..functions.xxhash import pmod, xxhash64_str
+        """term -> term_bucket (pmod of the term_id)."""
+        from ..functions.xxhash import pmod
 
         nb = self.manifest.n_buckets
-        return {t: pmod(xxhash64_str(t), nb) for t in set(terms)}
+        ids = self.ids_for(terms)
+        return {t: pmod(i, nb) for t, i in ids.items()}
 
     def df_for(self, terms: Sequence[str], buckets: Dict[str, int]) -> Dict[str, int]:
         """Global df per term, summed from the PRUNED segments scan (postings
         column never read — parquet column pruning), cached per reader."""
+        ids = self.ids_for(terms)
         missing = [t for t in set(terms) if t not in self._df_cache]
         if missing:
             blist = sorted({buckets[t] for t in missing})
@@ -121,15 +130,15 @@ class IndexReader:
                 self.segments()
                 .where(
                     F.col("term_bucket").isin(blist)
-                    & F.col("term").isin(missing)
+                    & F.col("term_id").isin([ids[t] for t in missing])
                 )
-                .groupBy("term")
+                .groupBy("term_id")
                 .agg(F.sum("df_part").alias("df"))
                 .collect()
             )
-            found = {r.term: int(r.df) for r in rows}
+            found = {r.term_id: int(r.df) for r in rows}
             for t in missing:
-                self._df_cache[t] = found.get(t, 0)
+                self._df_cache[t] = found.get(ids[t], 0)
         return {t: self._df_cache[t] for t in set(terms)}
 
 
@@ -405,9 +414,9 @@ def _shard_scorer(plan, avgdl: float, k: int, prune: bool):
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         has_pos = "positions" in pdf.columns
-        tp: Dict[str, _TermPostings] = {}
+        tp: Dict[int, _TermPostings] = {}
         for i in range(len(pdf)):
-            term = pdf["term"].iat[i]
+            term = int(pdf["term_id"].iat[i])
             tp.setdefault(term, _TermPostings(avgdl)).add(
                 pdf["postings"].iat[i],
                 pdf["positions"].iat[i] if has_pos else b"",
@@ -485,6 +494,7 @@ def bm25_topk_df(
         d = dfs.get(t, 0)
         return math.log(1.0 + (n - d + 0.5) / (d + 0.5))
 
+    ids = r.ids_for(all_terms)
     plan = []
     need_pos = False
     for q in qs:
@@ -494,10 +504,17 @@ def bm25_topk_df(
         terms = list(uterms)
         if not terms:
             continue
-        seq = q.terms if q.mode == "phrase" else None
+        seq = [ids[t] for t in q.terms] if q.mode == "phrase" else None
         need_pos = need_pos or q.mode in ("phrase", "near")
         plan.append(
-            (q.query_id, q.mode, terms, [idf(t) for t in terms], seq, q.window)
+            (
+                q.query_id,
+                q.mode,
+                [ids[t] for t in terms],
+                [idf(t) for t in terms],
+                seq,
+                q.window,
+            )
         )
 
     hit_terms = [t for t in all_terms if dfs.get(t, 0) > 0]
@@ -508,9 +525,10 @@ def bm25_topk_df(
 
     blist = sorted({buckets[t] for t in hit_terms})
     seg = r.segments().where(
-        F.col("term_bucket").isin(blist) & F.col("term").isin(hit_terms)
+        F.col("term_bucket").isin(blist)
+        & F.col("term_id").isin([ids[t] for t in hit_terms])
     )
-    cols = ["shard", "term", "postings", "blockmax", "bm_avgdl"] + (
+    cols = ["shard", "term_id", "postings", "blockmax", "bm_avgdl"] + (
         ["positions"] if need_pos else []
     )
     cand = (

@@ -76,9 +76,10 @@ def _append_batch(
             "doc_id",
             F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
         )
+        .select("doc_id", "pos", F.xxhash64("term").alias("term_id"))
         .withColumn(
             "term_bucket",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"),
         )
         .withColumn(
             "shard",
@@ -86,8 +87,23 @@ def _append_batch(
         )
         .join(doc_lens.hint("broadcast"), "doc_id")
     )
+    # vocab append: this batch's distinct terms (dedup on read)
+    (
+        batch.select(F.explode(spark_tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .select(
+            "term",
+            F.xxhash64("term").alias("term_id"),
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+            .cast("int")
+            .alias("term_bucket"),
+        )
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(fmt.vocab_dir(index_dir))
+    )
     seg_schema = (
-        "term_bucket int, term string, shard int, df_part long, "
+        "term_bucket int, term_id long, shard int, df_part long, "
         "cf_part long, postings binary, positions binary, "
         "blockmax binary, bm_avgdl double"
     )
@@ -97,7 +113,7 @@ def _append_batch(
             "term_bucket",
             "shard",
         )
-        .sortWithinPartitions("term", "shard", "doc_id", "pos")
+        .sortWithinPartitions("term_id", "shard", "doc_id", "pos")
         .mapInArrow(_segment_builder(batch_avgdl), schema=seg_schema)
     )
     seg.write.mode("append").partitionBy("term_bucket").parquet(
@@ -141,10 +157,16 @@ def incremental_index(
 
 def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
     seg = spark.read.parquet(fmt.segments_dir(index_dir))
+    vocab = (
+        spark.read.parquet(fmt.vocab_dir(index_dir))
+        .select("term", "term_id")
+        .dropDuplicates(["term_id"])
+    )
     (
-        seg.groupBy("term", "term_bucket")
+        seg.groupBy("term_id", "term_bucket")
         .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"))
-        .select("term", "df", "cf", "term_bucket")
+        .join(vocab, "term_id")
+        .select("term", "term_id", "df", "cf", "term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(fmt.term_stats_dir(index_dir))
