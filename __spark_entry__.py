@@ -635,6 +635,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snippets_demo"] = snippets_demo
 
+    # ---- segmentation / splitting stage (SURVEY §3.1 step 3b, §3.2) ----
+    def _segment_gold():
+        import json
+
+        return json.load(
+            open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tests", "data", "segment_golden.json",
+                )
+            )
+        )
+
+    def query_segments(spark, sf_dir):
+        # break a long query into ~5000-symbol segments at matched points
+        # (reference-golden case; oracle = the reference's own output)
+        from text_search_spark.operators.segment import break_queries
+
+        g = _segment_gold()
+        qp = [p[0] for p in g["break2_points"]]
+        tp = [p[1] - 12000 for p in g["break2_points"]]
+        df = spark.createDataFrame(
+            [("q0", 0, qp, tp, 12000, 14000)],
+            "query_id string, doc_id long, q_points array<long>, "
+            "t_points array<long>, q_len long, t_len long",
+        )
+        return break_queries(df)
+
+    q["query_segments"] = query_segments
+
+    def split_segments_demo(spark, sf_dir):
+        # split a long aligned query into training-sized segments
+        # (punctuation-boundary branch; oracle = reference output rows
+        # with string payloads fingerprinted)
+        from text_search_spark.operators.segment import split_alignments
+
+        g = _segment_gold()
+        target, hyp, times = g["case_target"], g["case_hyp"], g["case_times"]
+        ops = "".join(
+            "C" if r == h else "S" for r, h in zip(target, hyp)
+        )
+        df = spark.createDataFrame(
+            [("q0", 0, hyp, target, 0, 0, ops, times)],
+            "query_id string, doc_id long, query_text string, "
+            "doc_text string, q_start long, t_start long, align string, "
+            "times array<double>",
+        )
+        out = split_alignments(
+            df,
+            has_punctuation=True,
+            preceding_context_length=50,
+            timestamp_position="current",
+            overlap_ratio=0.25,
+        )
+        return out.select(
+            "query_id", "doc_id", "seg_idx", "begin_byte", "end_byte",
+            F.round("start_time", 3).alias("start_time_r"),
+            F.round("duration", 3).alias("duration_r"),
+            F.md5("hyp").alias("hyp_fp"),
+            F.md5("ref").alias("ref_fp"),
+        )
+
+    q["split_segments_demo"] = split_segments_demo
+
     # ---- reference-kernel demos (non-SQL; golden-pinned in pytest) ----
     def kernel_suffix_array(spark, sf_dir):
         from text_search_spark.kernels import create_suffix_array
@@ -1105,6 +1169,46 @@ FROM documents WHERE doc_id < 5
     o["kernel_lis"] = (
         "SELECT * FROM (VALUES (1, 7), (1, 8), (2, 9), (4, 10), (5, 12)) "
         "AS t(i, j)"
+    )
+
+    # ---- segmentation: literal oracles from the reference's own outputs
+    # (tests/data/segment_golden.json, generated by running the
+    # reference's _break_query / _split_into_segments) ----
+    import json as _json
+
+    _gold = _json.load(
+        open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests", "data", "segment_golden.json",
+            )
+        )
+    )
+    brk_rows = ", ".join(
+        f"('q0', 0, {k}, {qs}, {qe}, {ts - 12000}, {te - 12000})"
+        for k, (qs, qe, ts, te) in enumerate(_gold["break2"])
+    )
+    o["query_segments"] = (
+        f"SELECT * FROM (VALUES {brk_rows}) AS t(query_id, doc_id, "
+        "seg_idx, q_start, q_end, t_start, t_end)"
+    )
+
+    split_rows = ", ".join(
+        "('q0', 0, {k}, {bb}, {eb}, {st!r}, {du!r}, '{hf}', '{rf}')".format(
+            k=k,
+            bb=s["begin_byte"],
+            eb=s["end_byte"],
+            st=round(s["start_time"], 3),
+            du=round(s["duration"], 3),
+            hf=hashlib.md5(s["hyp"].encode()).hexdigest(),
+            rf=hashlib.md5(s["ref"].encode()).hexdigest(),
+        )
+        for k, s in enumerate(_gold["split_punct"])
+    )
+    o["split_segments_demo"] = (
+        f"SELECT * FROM (VALUES {split_rows}) AS t(query_id, doc_id, "
+        "seg_idx, begin_byte, end_byte, start_time_r, duration_r, "
+        "hyp_fp, ref_fp)"
     )
 
     # ---- ann_lsh_topk: replicate the hyperplane LSH exactly — the seeded

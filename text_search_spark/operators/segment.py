@@ -1,0 +1,604 @@
+"""Query segmentation + aligned-query splitting (SURVEY.md §3.1 step 3b,
+§3.2 "split" — the half of the reference's query lifecycle that bounds
+exact-DP cost and cuts hour-long aligned queries into training-sized
+segments).
+
+Reference semantics reimplemented here (all pinned by goldens generated
+from the reference's own pure-Python functions, tests/test_segment.py):
+
+  * break_query — /root/reference/textsearch/python/textsearch/match.py:79-221
+    break a long query into <=~segment_length pieces at matched points,
+    with the target/query length-ratio guard.
+  * get_segment_candidates — match.py:563-997: begin/end breaking-point
+    scores (silence, punctuation context, errors-in-region ±20 sliding
+    window) paired into candidate segments via bounded heaps of
+    num_of_best_position per begin/end point.
+  * split_into_segments — match.py:1000-1263: score-sorted greedy
+    non-overlap selection (kernels.is_overlap), boundary trimming over
+    punctuation classes, timestamped segment emission with context.
+  * the abbreviation-aware sentence-period rule — match.py:655-659
+    ("(?<!Mr|Mrs|...)\\.") — evaluated over the same 6-char window.
+
+Spark surface: these are per-(query, doc) kernels with bounded inputs
+(one alignment), so they run as Arrow-batched mapInPandas over pair rows
+— the same placement as operators/align.py, and the same reasoning the
+reference uses for its process pool (match.py:1386): pure-Python scoring,
+parallel by pair. At 100 TB the pair relation is the (small) output of
+index top-k retrieval, never a corpus-sized shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_left, bisect_right
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..kernels import is_overlap
+
+try:  # the reference's pattern needs variable-width lookbehind
+    import regex as _regex
+
+    _PERIOD_RE = _regex.compile(
+        "(?<!Mr|Mrs|Dr|Ms|Prof|Pro|Capt|Gen|Sen|Rev|Hon|St)\\."
+    )
+
+    def _real_sentence_period(window: str) -> bool:
+        return _PERIOD_RE.search(window) is not None
+
+except ImportError:  # pragma: no cover - regex is present in this env
+
+    _ABBREVS = (
+        "Mr", "Mrs", "Dr", "Ms", "Prof", "Pro", "Capt", "Gen", "Sen",
+        "Rev", "Hon", "St",
+    )
+
+    def _real_sentence_period(window: str) -> bool:
+        for m in range(len(window)):
+            if window[m] == "." and not any(
+                window[:m].endswith(a) for a in _ABBREVS
+            ):
+                return True
+        return False
+
+
+# punctuation classes — spec constants required for boundary parity,
+# /root/reference/textsearch/python/textsearch/utils.py:12-17
+_PUNCT_ALL = set("'.,;?!():-<>/\"。，；？！（）：-《》【】”“")
+_PUNCT_EOS = set(".?,，!。？！")
+_PUNCT_LEFT = set("\"'(<《【“")
+_PUNCT_RIGHT = set("\"')>》】”")
+
+_PERIOD_WINDOW = 5  # longest abbreviation the period rule looks behind
+_HALF_REGION = 20  # errors-in-region half window (match.py:632)
+_BASE_SCORE = 3.0  # shared scale of silence/punctuation/duration scores
+
+
+def break_query(
+    matched_points: Sequence[Tuple[int, int]],
+    query_span: Tuple[int, int],
+    target_span: Tuple[int, int],
+    segment_length: int = 5000,
+    reference_length_difference: float = 0.1,
+) -> List[Tuple[int, int, int, int]]:
+    """Break a long query into ~segment_length segments at matched points.
+
+    matched_points: ascending (query_pos, target_pos) anchor pairs (the
+    LIS chain); query_span / target_span: [base, next_base) bounds of the
+    two documents in whatever coordinate system the points use.
+    Returns [(q_start, q_end, t_start, t_end)].
+    """
+    if not matched_points:
+        return []
+    q_base, q_next = query_span
+    t_base, t_next = target_span
+    half = reference_length_difference / 2.0
+    lo_r, hi_r = 1.0 - half, 1.0 + half
+
+    # pass 1: candidate point-ranges — break where the running
+    # target/query ratio (anchored at the last break) leaves the band;
+    # the check fires only at points whose target gap outgrows the
+    # query gap (insertions on the reference side)
+    ranges: List[Tuple[int, int]] = []
+    anchor = 0
+    for i in range(1, len(matched_points)):
+        d_q = matched_points[i][0] - matched_points[i - 1][0]
+        d_t = matched_points[i][1] - matched_points[i - 1][1]
+        if d_q < d_t:
+            ratio = (
+                matched_points[i][1] - matched_points[anchor][1] + 1
+            ) / (matched_points[i][0] - matched_points[anchor][0] + 1)
+            if ratio < lo_r or ratio > hi_r:
+                ranges.append((anchor, i))
+                anchor = i
+    ranges.append((anchor, len(matched_points)))
+
+    # pass 2: keep the range covering the longest query stretch
+    best, best_len = (0, len(matched_points)), -1
+    for c in ranges:
+        ln = matched_points[c[1] - 1][0] - matched_points[c[0]][0]
+        if ln > best_len:
+            best_len, best = ln, c
+
+    # pass 3: walk the chosen points, emitting a segment every time the
+    # query distance from the previous break exceeds segment_length;
+    # first/last segments extend to the document bounds
+    first_q, first_t = matched_points[best[0]]
+    head_t = first_t - (first_q - q_base)
+    prev: Tuple[int, int] = (q_base, head_t if head_t >= t_base else t_base)
+    segments: List[Tuple[int, int, int, int]] = []
+    for ind in range(best[0], best[1]):
+        if matched_points[ind][0] - prev[0] > segment_length:
+            if ind == best[0]:
+                segments.append(
+                    (prev[0], matched_points[ind][0], prev[1],
+                     matched_points[ind][1])
+                )
+                prev = matched_points[ind]
+            else:
+                q_s, q_e = prev[0], matched_points[ind - 1][0]
+                t_s, t_e = prev[1], matched_points[ind - 1][1]
+                ratio = (t_e - t_s) / (q_e - q_s)
+                if ratio < lo_r or ratio > hi_r:
+                    # drop ratio-violating piece, keep the break anchor
+                    continue
+                segments.append((q_s, q_e, t_s, t_e))
+                prev = (q_e, t_e)
+
+    q_s, t_s = prev
+    q_e = q_next
+    t_e = t_s + (q_e - q_s)
+    t_e = t_e if t_e <= t_next else t_next
+    if q_e - q_s < segment_length // 4 and segments:
+        segments[-1] = (segments[-1][0], q_e, segments[-1][2], t_e)
+    else:
+        segments.append((q_s, q_e, t_s, t_e))
+    return segments
+
+
+def build_align_items(
+    query_text: str,
+    target_text: str,
+    q_start: int,
+    t_start: int,
+    align_ops: str,
+    times: Optional[Sequence[float]] = None,
+) -> List[Dict]:
+    """Alignment-op string -> per-position align items, the conventions of
+    the reference's _combine_sub_alignments (match.py:224-341):
+    I -> (ref='', hyp=query char), D -> (ref=target char, hyp=''),
+    C/S -> both chars; positions clamp at the document ends; hyp_time
+    comes from the per-char `times` (0.0 when absent)."""
+    items: List[Dict] = []
+    qi, ti = q_start, t_start
+    q_n, t_n = len(query_text), len(target_text)
+    for op in align_ops:
+        hyp_pos = qi if qi < q_n else q_n - 1
+        ref_pos = ti if ti < t_n else t_n - 1
+        hyp_time = 0.0 if times is None else float(times[hyp_pos])
+        if op == "I":
+            ref, hyp = "", query_text[hyp_pos]
+            qi += 1
+        elif op == "D":
+            ref, hyp = target_text[ref_pos], ""
+            ti += 1
+        else:  # C | S
+            ref, hyp = target_text[ref_pos], query_text[hyp_pos]
+            qi += 1
+            ti += 1
+        items.append(
+            {"ref": ref, "hyp": hyp, "ref_pos": ref_pos,
+             "hyp_pos": hyp_pos, "hyp_time": hyp_time}
+        )
+    return items
+
+
+def _punct_before(target_text: str, ref_pos: int, score: float) -> float:
+    """Score for sentence-boundary punctuation immediately before ref_pos
+    (skipping spaces/other punctuation), with the abbreviation-aware
+    period rule. match.py:704-739."""
+    j = ref_pos - 1
+    n_spaces = 0
+    while j >= 0:
+        c = target_text[j]
+        if c in _PUNCT_EOS:
+            if c == ".":
+                window = target_text[j - _PERIOD_WINDOW : j + 1]
+                if _real_sentence_period(window) and n_spaces >= 1:
+                    return score
+                return 0.0
+            return score
+        if c == " " or c in _PUNCT_ALL:
+            if c == " ":
+                n_spaces += 1
+            j -= 1
+        else:
+            return 0.0
+    return 0.0
+
+
+def _punct_after(target_text: str, ref_pos: int, score: float) -> float:
+    """Score for sentence-boundary punctuation just after ref_pos.
+    match.py:741-776 (note: a period only counts once a non-punctuation
+    char follows it with >=1 space in between; text ending in punctuation
+    scores 0 — mirrored faithfully)."""
+    j = ref_pos + 1
+    n = len(target_text)
+    period = False
+    other_eos = False
+    n_spaces = 0
+    while j < n:
+        c = target_text[j]
+        if c in _PUNCT_EOS:
+            if c == ".":
+                window = target_text[j - _PERIOD_WINDOW : j + 1]
+                if _real_sentence_period(window):
+                    period = True
+            else:
+                other_eos = True
+            j += 1
+        elif c == " " or c in _PUNCT_ALL:
+            if c == " ":
+                n_spaces += 1
+            j += 1
+        else:
+            if (period and n_spaces >= 1) or other_eos:
+                return score
+            return 0.0
+    return 0.0
+
+
+def get_segment_candidates(
+    target_text: str,
+    aligns: List[Dict],
+    has_punctuation: bool = True,
+    silence_length_to_break: float = 0.6,
+    min_duration: float = 2.0,
+    max_duration: float = 30.0,
+    expected_duration: Tuple[float, float] = (5.0, 20.0),
+    max_error_rate: float = 0.15,
+    num_of_best_position: int = 4,
+) -> List[Tuple[int, int, float]]:
+    """Candidate (start, end, score) segments over align positions.
+
+    Begin/end scores = capped silence + punctuation context − local error
+    density (±20 sliding window); candidate pairs are formed begin->end
+    and end->begin with a bounded heap of num_of_best_position per point,
+    gated on duration band and max_error_rate. match.py:563-997."""
+    n = len(aligns)
+    if n == 0:
+        return []
+    matched = np.fromiter(
+        (a["ref"] == a["hyp"] for a in aligns), dtype=bool, count=n
+    )
+    cum_match = np.cumsum(matched.astype(np.int64))
+    cum_error = np.cumsum((~matched).astype(np.int64))
+    hyp_time = np.fromiter(
+        (a["hyp_time"] for a in aligns), dtype=np.float64, count=n
+    )
+
+    # errors in the ±HALF_REGION window around i (incremental in the
+    # reference; closed-form with cumsums here — identical values)
+    hi = np.minimum(np.arange(n) + _HALF_REGION, n - 1)
+    lo = np.arange(n) - _HALF_REGION
+    err_region = cum_error[hi] - np.where(lo >= 0, cum_error[np.maximum(lo, 0)], 0)
+
+    max_sil = _BASE_SCORE
+    prev_sil = np.empty(n)
+    prev_sil[0] = max_sil
+    prev_sil[1:] = np.minimum(hyp_time[1:] - hyp_time[:-1], max_sil)
+    succ_sil = np.empty(n)
+    succ_sil[-1] = max_sil
+    succ_sil[:-1] = np.minimum(hyp_time[1:] - hyp_time[:-1], max_sil)
+
+    begin_scores: List[Tuple[int, float]] = []
+    end_scores: List[Tuple[int, float]] = []
+    for i, a in enumerate(aligns):
+        err_term = err_region[i] / _HALF_REGION
+        # punctuation context always contributes to the score; the
+        # has_punctuation flag only gates candidate ELIGIBILITY
+        # (punctuation boundaries vs silence boundaries)
+        p_prev = _punct_before(target_text, a["ref_pos"], _BASE_SCORE)
+        p_succ = _punct_after(target_text, a["ref_pos"], _BASE_SCORE)
+        b_score = prev_sil[i] + p_prev - err_term
+        e_score = succ_sil[i] + p_succ - err_term
+        if has_punctuation:
+            if p_prev > 0 or i == 0:
+                begin_scores.append((i, b_score))
+            if p_succ > 0 or i == n - 1:
+                end_scores.append((i, e_score))
+        else:
+            if matched[i] and (prev_sil[i] >= silence_length_to_break or i == 0):
+                begin_scores.append((i, b_score))
+            if matched[i] and (
+                succ_sil[i] >= silence_length_to_break or i == n - 1
+            ):
+                end_scores.append((i, e_score))
+
+    from heapq import heappush, heappop
+
+    def _seg_score(b: int, e: int, point_score: float) -> Optional[float]:
+        """Combined score of candidate [b, e]; None = error-rate reject."""
+        span = e - b
+        total_err = cum_error[e] - cum_error[b]
+        if total_err >= span * max_error_rate:
+            return None
+        match_score = _BASE_SCORE * (cum_match[e] - cum_match[b]) / span
+        err_score = _BASE_SCORE * total_err / span
+        dur = hyp_time[e] - hyp_time[b]
+        dur_score = _BASE_SCORE
+        if dur < expected_duration[0]:
+            dur_score -= (
+                (dur - min_duration)
+                / (expected_duration[0] - min_duration)
+                * _BASE_SCORE
+            )
+        if dur > expected_duration[1]:
+            dur_score -= (
+                (max_duration - dur)
+                / (max_duration - expected_duration[1])
+                * _BASE_SCORE
+            )
+        return point_score + match_score - err_score + dur_score
+
+    candidates: List[Tuple[int, int, float]] = []
+
+    last_ind = 0
+    for item in begin_scores:
+        heap: List[Tuple[float, Tuple[int, int]]] = []
+        ind = bisect_right(end_scores, item, lo=last_ind)
+        last_ind = ind
+        while 0 <= ind < len(end_scores):
+            e = end_scores[ind][0]
+            dur = hyp_time[e] - hyp_time[item[0]]
+            if dur <= min_duration:
+                ind += 1
+                continue
+            if dur > max_duration:
+                break
+            s = _seg_score(item[0], e, item[1] + end_scores[ind][1])
+            if s is not None:
+                heappush(heap, (s, (item[0], e)))
+                if len(heap) > num_of_best_position:
+                    heappop(heap)
+            ind += 1
+        while heap:
+            s, (b, e) = heappop(heap)
+            candidates.append((b, e, s))
+
+    last_ind = 0
+    for item in end_scores:
+        heap = []
+        ind = bisect_left(begin_scores, item, lo=last_ind)
+        last_ind = ind
+        while 0 <= ind < len(begin_scores):
+            b = begin_scores[ind][0]
+            dur = hyp_time[item[0]] - hyp_time[b]
+            if dur <= min_duration:
+                ind -= 1
+                continue
+            if dur >= max_duration:
+                break
+            s = _seg_score(b, item[0], begin_scores[ind][1] + item[1])
+            if s is not None:
+                heappush(heap, (s, (b, item[0])))
+                if len(heap) > num_of_best_position:
+                    heappop(heap)
+            ind -= 1
+        while heap:
+            s, (b, e) = heappop(heap)
+            candidates.append((b, e, s))
+
+    return candidates
+
+
+def split_into_segments(
+    query_text: str,
+    target_text: str,
+    aligns: List[Dict],
+    has_punctuation: bool = True,
+    preceding_context_length: int = 1000,
+    timestamp_position: str = "current",
+    silence_length_to_break: float = 0.6,
+    overlap_ratio: float = 0.25,
+    min_duration: float = 2.0,
+    max_duration: float = 30.0,
+    expected_duration: Tuple[float, float] = (5.0, 20.0),
+    max_error_rate: float = 0.15,
+    num_of_best_position: int = 4,
+) -> List[Dict]:
+    """Candidates -> score-sorted greedy non-overlap selection
+    (kernels.is_overlap) -> boundary trimming -> segment dicts.
+    match.py:1000-1263."""
+    candidates = get_segment_candidates(
+        target_text,
+        aligns,
+        has_punctuation=has_punctuation,
+        silence_length_to_break=silence_length_to_break,
+        min_duration=min_duration,
+        max_duration=max_duration,
+        expected_duration=expected_duration,
+        max_error_rate=max_error_rate,
+        num_of_best_position=num_of_best_position,
+    )
+    candidates = sorted(candidates, key=lambda x: x[2], reverse=True)
+
+    sel_ranges: List[Tuple[float, float]] = []
+    sel_indexes: List[int] = []
+    segments: List[Tuple[int, int, float]] = []
+    evicted: List[int] = []
+    for r in candidates:
+        status, index = is_overlap(
+            sel_ranges,
+            sel_indexes,
+            query=(aligns[r[0]]["hyp_time"], aligns[r[1]]["hyp_time"]),
+            segment_index=len(segments),
+            overlap_ratio=overlap_ratio,
+        )
+        if status:
+            if index is not None:
+                evicted.append(index)
+                segments.append(r)
+        else:
+            segments.append(r)
+    for index in sorted(evicted, reverse=True):
+        segments.pop(index)
+
+    t_n = len(target_text)
+    results: List[Dict] = []
+    for seg in segments:
+        begin_pos = aligns[seg[0]]["ref_pos"]
+        while target_text[begin_pos] == " ":
+            begin_pos += 1
+        while begin_pos >= 1 and target_text[begin_pos - 1] in _PUNCT_LEFT:
+            begin_pos -= 1
+
+        end_pos = aligns[seg[1]]["ref_pos"]
+        while end_pos + 1 < t_n and (
+            target_text[end_pos + 1] in _PUNCT_RIGHT
+            or target_text[end_pos + 1] in _PUNCT_EOS
+        ):
+            end_pos += 1
+
+        prev_i = seg[0] if seg[0] == 0 else seg[0] - 1
+        next_i = seg[1] if seg[1] == len(aligns) - 1 else seg[1] + 1
+        if timestamp_position == "middle":
+            start_time = (
+                aligns[prev_i]["hyp_time"] + aligns[seg[0]]["hyp_time"]
+            ) / 2
+            end_time = (
+                aligns[next_i]["hyp_time"] + aligns[seg[1]]["hyp_time"]
+            ) / 2
+        elif timestamp_position == "previous":
+            start_time = aligns[prev_i]["hyp_time"]
+            end_time = aligns[seg[1]]["hyp_time"]
+        else:
+            start_time = aligns[seg[0]]["hyp_time"]
+            end_time = aligns[next_i]["hyp_time"]
+
+        hyp_begin = aligns[seg[0]]["hyp_pos"]
+        while query_text[hyp_begin] == " ":
+            hyp_begin += 1
+        hyp_end = aligns[seg[1]]["hyp_pos"]
+
+        ctx = preceding_context_length
+        results.append(
+            {
+                "begin_byte": int(begin_pos),
+                "end_byte": int(end_pos),
+                "start_time": float(start_time),
+                "duration": math.floor(1000 * (end_time - start_time)) / 1000,
+                "hyp": query_text[hyp_begin : hyp_end + 1],
+                "ref": target_text[begin_pos : end_pos + 1],
+                "pre_ref": target_text[max(begin_pos - ctx, 0) : begin_pos],
+                "pre_hyp": query_text[max(hyp_begin - ctx, 0) : hyp_begin],
+                "post_ref": target_text[end_pos + 1 : end_pos + ctx],
+                # quirk kept for parity: the reference bounds the hyp
+                # suffix context from hyp_BEGIN + ctx (match.py:1210)
+                "post_hyp": query_text[hyp_end + 1 : hyp_begin + ctx],
+            }
+        )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+BREAK_SCHEMA = (
+    "query_id string, doc_id long, seg_idx int, q_start long, q_end long, "
+    "t_start long, t_end long"
+)
+
+
+def break_queries(
+    pairs: DataFrame,
+    segment_length: int = 5000,
+    reference_length_difference: float = 0.1,
+) -> DataFrame:
+    """(query_id, doc_id, q_points array<long>, t_points array<long>,
+    q_len long, t_len long) -> one row per segment, BREAK_SCHEMA.
+
+    mapInPandas: each row is one (query, doc) match chain, already
+    colocated — no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for qid, did, qp, tp, qn, tn in zip(
+                b["query_id"], b["doc_id"], b["q_points"], b["t_points"],
+                b["q_len"], b["t_len"],
+            ):
+                segs = break_query(
+                    list(zip(qp, tp)),
+                    (0, int(qn)),
+                    (0, int(tn)),
+                    segment_length,
+                    reference_length_difference,
+                )
+                for k, (qs, qe, ts, te) in enumerate(segs):
+                    rows.append((qid, did, k, qs, qe, ts, te))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "query_id", "doc_id", "seg_idx", "q_start", "q_end",
+                    "t_start", "t_end",
+                ],
+            )
+
+    return pairs.mapInPandas(run, schema=BREAK_SCHEMA)
+
+
+SPLIT_SCHEMA = (
+    "query_id string, doc_id long, seg_idx int, begin_byte int, "
+    "end_byte int, start_time double, duration double, hyp string, "
+    "ref string, pre_ref string, post_ref string"
+)
+
+
+def split_alignments(
+    pairs: DataFrame,
+    has_punctuation: bool = True,
+    **params,
+) -> DataFrame:
+    """(query_id, doc_id, query_text, doc_text, q_start, t_start,
+    align string, times array<double>) -> segment rows, SPLIT_SCHEMA.
+
+    One aligned pair per input row -> mapInPandas, no shuffle; `times`
+    may be null (hyp_time = 0, silence-based breaks disabled)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for qid, did, qt, dt, qs, ts, ops, times in zip(
+                b["query_id"], b["doc_id"], b["query_text"], b["doc_text"],
+                b["q_start"], b["t_start"], b["align"], b["times"],
+            ):
+                aligns = build_align_items(
+                    qt, dt, int(qs), int(ts), ops,
+                    None if times is None else list(times),
+                )
+                segs = split_into_segments(
+                    qt, dt, aligns, has_punctuation=has_punctuation, **params
+                )
+                for k, s in enumerate(segs):
+                    rows.append(
+                        (
+                            qid, did, k, s["begin_byte"], s["end_byte"],
+                            s["start_time"], s["duration"], s["hyp"],
+                            s["ref"], s["pre_ref"], s["post_ref"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "query_id", "doc_id", "seg_idx", "begin_byte",
+                    "end_byte", "start_time", "duration", "hyp", "ref",
+                    "pre_ref", "post_ref",
+                ],
+            )
+
+    return pairs.mapInPandas(run, schema=SPLIT_SCHEMA)
