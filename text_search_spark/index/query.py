@@ -334,19 +334,32 @@ def _phrase_docs(
     dec = {t: tp[t].positions_full() for t in set(terms)}
     all_docs = np.unique(np.concatenate([dec[t][0] for t in terms]))
 
+    # pack (local doc index, position) into one int64 for the n-way
+    # intersection; the shift adapts to the longest document so packing
+    # never overflows silently (>2^22-token docs exist at web scale)
+    max_pos = max(
+        (int(dec[t][2].max()) if dec[t][2].size else 0) for t in set(terms)
+    )
+    shift = max(22, max_pos.bit_length())
+    if int(all_docs.size) >= (1 << (63 - shift)):
+        raise OverflowError(
+            f"phrase packing overflow: {all_docs.size} candidate docs with "
+            f"positions up to {max_pos} exceed int64 packing"
+        )
+
     def pairs(t: str, k: int) -> np.ndarray:
         doc_ids, tfs, flat_pos = dec[t]
         docs_rep = np.repeat(np.searchsorted(all_docs, doc_ids), tfs)
         p = flat_pos - k
         keep = p >= 0
-        return docs_rep[keep] * (1 << 22) + p[keep]
+        return docs_rep[keep] * (1 << shift) + p[keep]
 
     inter = pairs(terms[0], 0)
     for k, t in enumerate(terms[1:], start=1):
         inter = np.intersect1d(inter, pairs(t, k))
         if inter.size == 0:
             return np.empty(0, dtype=np.int64)
-    return all_docs[np.unique(inter >> 22)]
+    return all_docs[np.unique(inter >> shift)]
 
 
 def _near_docs(
@@ -367,42 +380,55 @@ def _near_docs(
         if docs.size == 0:
             return np.empty(0, dtype=np.int64)
     m = len(uterms)
-    out = []
-    # per-term, per-candidate position slices
-    slices = {}
+    if m == 1:
+        return docs
+
+    # fully vectorized minimal-covering-window sweep over ALL candidate
+    # docs at once: positions are globalized per doc with a span gap
+    # wider than the window (so windows never cross docs), events are
+    # sorted once, and for each event we ask whether every term has an
+    # occurrence within [pos - window, pos] via per-term running maxima.
+    g_parts: List[np.ndarray] = []
+    t_parts: List[np.ndarray] = []
+    d_parts: List[np.ndarray] = []
+    pos_parts = []
+    max_pos = 0
     for t in uterms:
         d, tf, flat = dec[t]
+        idx = np.searchsorted(d, docs)  # docs ⊆ d per the intersection
+        lens = tf[idx]
         starts = np.concatenate([[0], np.cumsum(tf)])[:-1]
-        idx = np.searchsorted(d, docs)
-        slices[t] = (starts[idx], tf[idx], flat)
-    for j, doc in enumerate(docs):
-        events = []
-        for i, t in enumerate(uterms):
-            s, tf, flat = slices[t][0][j], slices[t][1][j], slices[t][2]
-            events.extend((int(p), i) for p in flat[s : s + tf])
-        events.sort()
-        count = [0] * m
-        have = 0
-        lo = 0
-        ok = False
-        for hi in range(len(events)):
-            ti = events[hi][1]
-            count[ti] += 1
-            if count[ti] == 1:
-                have += 1
-            while have == m:
-                if events[hi][0] - events[lo][0] <= window:
-                    ok = True
-                    break
-                count[events[lo][1]] -= 1
-                if count[events[lo][1]] == 0:
-                    have -= 1
-                lo += 1
-            if ok:
-                break
-        if ok:
-            out.append(int(doc))
-    return np.asarray(out, dtype=np.int64)
+        tot = int(lens.sum())
+        out_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        gather = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(out_starts, lens)
+            + np.repeat(starts[idx], lens)
+        )
+        pos_v = flat[gather]
+        pos_parts.append((pos_v, np.repeat(np.arange(docs.size), lens)))
+        if pos_v.size:
+            max_pos = max(max_pos, int(pos_v.max()))
+    span = np.int64(max_pos + window + 2)
+    if float(docs.size) * float(span) >= 2**53:  # float64 exactness bound
+        raise OverflowError("near packing overflow")  # pragma: no cover
+    for i, (pos_v, doc_rep) in enumerate(pos_parts):
+        g_parts.append(doc_rep.astype(np.int64) * span + pos_v)
+        t_parts.append(np.full(pos_v.size, i, dtype=np.int8))
+        d_parts.append(doc_rep)
+    g_all = np.concatenate(g_parts)
+    t_all = np.concatenate(t_parts)
+    d_all = np.concatenate(d_parts)
+    order = np.argsort(g_all, kind="stable")
+    gs = g_all[order].astype(np.float64)  # < 2^62 guarded; exact < 2^53
+    ts_lbl = t_all[order]
+    min_last = np.full(gs.size, np.inf)
+    for k in range(m):
+        vals = np.where(ts_lbl == k, gs, -np.inf)
+        np.maximum.accumulate(vals, out=vals)
+        np.minimum(min_last, vals, out=min_last)
+    hit = gs - min_last <= window
+    return docs[np.unique(d_all[order][hit])]
 
 
 def _shard_scorer(plan, avgdl: float, k: int, prune: bool):
