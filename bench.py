@@ -45,6 +45,7 @@ def main() -> None:
         IndexReader,
         QuerySpec,
         bm25_topk_df,
+        bm25_topk_rows,
     )
     from text_search_spark.operators import ann, dedup, textstats
     from text_search_spark.session import get_spark
@@ -132,15 +133,18 @@ def main() -> None:
 
     lat = []
     def seq10():
+        # single-query latency path: driver-side global merge
+        # (bm25_topk_rows) — one Spark job per query
         for i in range(10):
             t0 = time.perf_counter()
-            bm25_topk_df(
+            rows = bm25_topk_rows(
                 spark,
                 index_dir,
                 [QuerySpec(f"q{i}", [terms[i]], "or")],
                 k=10,
                 reader=reader,
-            ).collect()
+            )
+            assert rows, f"empty top-k for q{i}"
             lat.append(time.perf_counter() - t0)
     timed("bm25_seq10", seq10)
     extra["bm25_p50_ms"] = round(statistics.median(lat) * 1000, 1)

@@ -155,3 +155,45 @@ def test_near_mode_vs_oracle(spark, built):
             assert abs(sg - se) <= 1e-6
         n_hits += len(exp)
     assert n_hits > 0
+
+
+def test_topk_rows_identical_to_df(spark, built):
+    """The driver-merged latency path (bm25_topk_rows) is rank- and
+    score-identical to the DataFrame path on the full query set."""
+    from text_search_spark.index.query import bm25_topk_rows
+
+    index_dir, _, _ = built
+    queries = generate_queries()
+    specs = [QuerySpec(q.query_id, q.terms, q.mode) for q in queries]
+    df_rows = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk_df(spark, index_dir, specs, k=10).collect()
+    )
+    rows = sorted(bm25_topk_rows(spark, index_dir, specs, k=10))
+    assert rows == df_rows
+
+
+def test_topk_rows_fast_paths_identical(spark, built):
+    """Single-term batches route to the driver-side sidecar scorer (or
+    the shuffle-free executor scorer above the postings threshold); both
+    must be rank- and score-identical to the DataFrame path."""
+    import text_search_spark.index.query as qm
+    from text_search_spark.index.query import bm25_topk_rows
+
+    index_dir, _, _ = built
+    queries = [q for q in generate_queries() if len(set(q.terms)) == 1]
+    assert len(queries) >= 5
+    specs = [QuerySpec(q.query_id, q.terms, q.mode) for q in queries]
+    df_rows = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk_df(spark, index_dir, specs, k=10).collect()
+    )
+    rows_driver = sorted(bm25_topk_rows(spark, index_dir, specs, k=10))
+    assert rows_driver == df_rows
+    old = qm.DRIVER_SCORE_MAX_POSTINGS
+    try:
+        qm.DRIVER_SCORE_MAX_POSTINGS = 0  # force the executor fast path
+        rows_exec = sorted(bm25_topk_rows(spark, index_dir, specs, k=10))
+    finally:
+        qm.DRIVER_SCORE_MAX_POSTINGS = old
+    assert rows_exec == df_rows
