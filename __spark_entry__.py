@@ -502,6 +502,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_dups"] = embedding_dups
 
+    def embedding_dups_lsh(spark, sf_dir):
+        # bucketed near-dup pairs: NO CartesianProduct in the plan (the
+        # brute-force embedding_dups entry stays as the demo baseline)
+        e = _t(spark, sf_dir, "embeddings")
+        return ann.lsh_dup_pairs(e, threshold=0.3)
+
+    q["embedding_dups_lsh"] = embedding_dups_lsh
+
     def interval_select(spark, sf_dir):
         # J6 is_overlap greedy suppression per user (order-dependent ->
         # grouped kernel; rows-only driver check, golden-pinned in pytest)
@@ -698,6 +706,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["split_segments_demo"] = split_segments_demo
+
+    # ---- subtitle-style direct alignment with max_error_rate gate ----
+    def subtitle_gate(spark, sf_dir):
+        from text_search_spark.operators.align import subtitle_align
+
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+        good = d.select(
+            F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias(
+                "pair_id"
+            ),
+            F.substring("text", 10, 40).alias("ref_text"),
+            F.col("text").alias("hyp_text"),
+        )
+        bad = d.select(
+            F.concat(F.lit("x"), F.col("doc_id").cast("string")).alias(
+                "pair_id"
+            ),
+            F.reverse(F.substring("text", 10, 40)).alias("ref_text"),
+            F.col("text").alias("hyp_text"),
+        )
+        pairs = good.unionByName(bad).withColumn(
+            "char_times",
+            F.transform(
+                F.sequence(F.lit(0), F.length("hyp_text") - 1),
+                lambda i: i.cast("double") * F.lit(0.1),
+            ),
+        )
+        out = subtitle_align(pairs, max_error_rate=0.15)
+        return out.select(
+            "pair_id", "distance", "t_start", "t_end",
+            F.round("start_time", 6).alias("st"),
+            F.round("end_time", 6).alias("et"),
+        )
+
+    q["subtitle_gate"] = subtitle_gate
+
+    # ---- overlap-ratio quality metric (SURVEY §2.4 A5) ----
+    def overlap_metric(spark, sf_dir):
+        from text_search_spark.operators.metrics import overlap_ratio
+
+        e = _t(spark, sf_dir, "events")
+        segs = e.select(
+            F.col("user_id").cast("string").alias("recording_id"),
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "timestamp_ntz'1970-01-01 00:00:00', ts)"
+            ).alias("start_us"),
+            F.round(F.col("value") * 1000000.0)
+            .cast("long")
+            .alias("duration_us"),
+        )
+        return overlap_ratio(segs)
+
+    q["overlap_metric"] = overlap_metric
+
+    # ---- transcript ingestion (SURVEY §2.1 S2) ----
+    def transcript_ingest(spark, sf_dir):
+        # BPE-ish query table derived from documents: first 20 canonical
+        # tokens, each prefixed with the BPE marker; begin time i*0.25.
+        # Output = per-char (pos, char, time) rows after ▁->space
+        # expansion — the reference's per-symbol time replication.
+        from text_search_spark.operators.transcripts import (
+            transcripts_from_tokens,
+        )
+
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+        qdf = d.select(
+            F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias(
+                "query_id"
+            ),
+            F.transform(
+                F.slice(spark_tokens(F.col("text")), 1, 20),
+                lambda t: F.concat(F.lit("▁"), t),
+            ).alias("tokens"),
+        ).withColumn(
+            "begin_times",
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - 1),
+                lambda i: i.cast("double") * F.lit(0.25),
+            ),
+        )
+        tr = transcripts_from_tokens(qdf, is_bpe=True, strict=True)
+        return tr.select(
+            "query_id",
+            F.posexplode("char_times").alias("pos", "t"),
+            F.col("text"),
+        ).select(
+            "query_id",
+            "pos",
+            F.substring(F.col("text"), F.col("pos") + 1, F.lit(1)).alias(
+                "ch"
+            ),
+            "t",
+        )
+
+    q["transcript_ingest"] = transcript_ingest
 
     # ---- reference-kernel demos (non-SQL; golden-pinned in pytest) ----
     def kernel_suffix_array(spark, sf_dir):
@@ -1136,7 +1240,8 @@ FROM documents WHERE doc_id < 5
         if kind == "image"
     ]
     o["multimodal_features"] = (
-        "SELECT * FROM (VALUES "
+        "SELECT CAST(media_id AS BIGINT) AS media_id, feat_dim, "
+        "feature_fp FROM (VALUES "
         + ", ".join(mm_rows)
         + ") AS t(media_id, feat_dim, feature_fp)"
     )
@@ -1189,7 +1294,10 @@ FROM documents WHERE doc_id < 5
         for k, (qs, qe, ts, te) in enumerate(_gold["break2"])
     )
     o["query_segments"] = (
-        f"SELECT * FROM (VALUES {brk_rows}) AS t(query_id, doc_id, "
+        "SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, seg_idx, "
+        "CAST(q_start AS BIGINT) AS q_start, CAST(q_end AS BIGINT) AS "
+        "q_end, CAST(t_start AS BIGINT) AS t_start, CAST(t_end AS BIGINT) "
+        f"AS t_end FROM (VALUES {brk_rows}) AS t(query_id, doc_id, "
         "seg_idx, q_start, q_end, t_start, t_end)"
     )
 
@@ -1206,10 +1314,78 @@ FROM documents WHERE doc_id < 5
         for k, s in enumerate(_gold["split_punct"])
     )
     o["split_segments_demo"] = (
-        f"SELECT * FROM (VALUES {split_rows}) AS t(query_id, doc_id, "
+        "SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, seg_idx, "
+        "begin_byte, end_byte, CAST(start_time_r AS DOUBLE) AS "
+        "start_time_r, CAST(duration_r AS DOUBLE) AS duration_r, hyp_fp, "
+        f"ref_fp FROM (VALUES {split_rows}) AS t(query_id, doc_id, "
         "seg_idx, begin_byte, end_byte, start_time_r, duration_r, "
         "hyp_fp, ref_fp)"
     )
+
+    # ---- subtitle gate: exact-substring pairs are provably distance 0
+    # with the matched span at chars [9, 9+ref_len); reversed-substring
+    # pairs exceed the 0.15 error budget and MUST be absent ----
+    o["subtitle_gate"] = """
+WITH d AS (SELECT doc_id, length(text) AS n,
+             least(40, length(text) - 9) AS ref_len
+           FROM documents WHERE doc_id < 20)
+SELECT 's' || CAST(doc_id AS VARCHAR) AS pair_id,
+  0 AS distance,
+  9 AS t_start,
+  CAST(least(9 + ref_len, n - 1) AS INTEGER) AS t_end,
+  round(CAST(9 AS DOUBLE) * 0.1, 6) AS st,
+  round(CAST(least(9 + ref_len, n - 1) AS DOUBLE) * 0.1, 6) AS et
+FROM d
+"""
+
+    # ---- overlap metric: pairwise contiguous-prefix sweep in SQL ----
+    o["overlap_metric"] = """
+WITH segs AS (SELECT CAST(user_id AS VARCHAR) AS rec,
+    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS s,
+    CAST(round(value * 1000000.0) AS BIGINT) AS dur
+  FROM events),
+x AS (SELECT rec, s, s + dur AS e, dur,
+        row_number() OVER (PARTITION BY rec ORDER BY s, s + dur) AS rn
+      FROM segs),
+ov AS (SELECT a.rec, CAST(sum(a.e - b.s) AS BIGINT) AS o
+       FROM x a JOIN x b ON a.rec = b.rec AND b.rn > a.rn AND b.s < a.e
+       GROUP BY a.rec),
+rec AS (SELECT x.rec AS recording_id,
+          CAST(count(*) AS BIGINT) AS n_segments,
+          CAST(coalesce(any_value(ov.o), 0) AS BIGINT) AS overlap_us,
+          CAST(sum(x.dur) AS BIGINT) AS duration_us
+        FROM x LEFT JOIN ov ON ov.rec = x.rec GROUP BY x.rec),
+uni AS (
+  SELECT * FROM rec
+  UNION ALL
+  SELECT '__all__', CAST(sum(n_segments) AS BIGINT),
+    CAST(sum(overlap_us) AS BIGINT), CAST(sum(duration_us) AS BIGINT)
+  FROM rec
+)
+SELECT recording_id, n_segments, overlap_us, duration_us,
+  CASE WHEN duration_us > 0
+       THEN round(CAST(overlap_us AS DOUBLE) / duration_us, 6)
+       ELSE 0.0 END AS ratio
+FROM uni
+"""
+
+    # ---- transcript ingestion: per-char time replication in SQL ----
+    o["transcript_ingest"] = f"""
+WITH src AS (SELECT doc_id, ({duckdb_tokens_sql('text')})[1:20] AS tk
+             FROM documents WHERE doc_id < 50),
+tok AS (SELECT doc_id, ' ' || unnest(tk) AS token,
+               generate_subscripts(tk, 1) AS j FROM src),
+w AS (SELECT doc_id, j, token, length(token) AS ln,
+        CAST(j - 1 AS DOUBLE) * 0.25 AS bt,
+        coalesce(sum(length(token)) OVER (PARTITION BY doc_id ORDER BY j
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM tok)
+SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+  CAST(off + k AS INTEGER) AS pos,
+  substring(token, CAST(k + 1 AS INTEGER), 1) AS ch,
+  bt AS t
+FROM (SELECT doc_id, off, bt, token, unnest(range(0, ln)) AS k FROM w) _z
+"""
 
     # ---- ann_lsh_topk: replicate the hyperplane LSH exactly — the seeded
     # planes inline as literals, bucket = sign bits, cosine within bucket --
@@ -1243,6 +1419,30 @@ cos AS (SELECT d.q_id, d.vec_id,
 ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
   ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM cos)
 SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+    # ---- embedding_dups_lsh: bucketed near-dup pairs in SQL (same
+    # inline plane literals; pairs form only within equal buckets) ----
+    o["embedding_dups_lsh"] = f"""
+WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+planes AS (SELECT * FROM (VALUES {plane_rows}) AS t(p, i, w)),
+dots AS (SELECT e.vec_id, pl.p, sum(e.v * pl.w) AS d
+  FROM ex e JOIN planes pl ON pl.i = e.i GROUP BY 1, 2),
+buckets AS (SELECT vec_id,
+  sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id),
+dots2 AS (SELECT p.id_a, p.id_b, sum(x.v * y.v) AS dot
+  FROM pairs p JOIN ex x ON x.vec_id = p.id_a
+  JOIN ex y ON y.vec_id = p.id_b AND y.i = x.i GROUP BY 1, 2)
+SELECT d.id_a, d.id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+FROM dots2 d JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3
 """
 
     # ---- snippets_demo: densest-window snippet derivation in pure SQL —

@@ -49,6 +49,11 @@ def test_entry_vs_duckdb(spark, ddb, name):
     odf = ddb.execute(_ORACLES[name]).fetchdf()
     assert sorted(sdf.columns) == sorted(odf.columns), (
         name, sdf.columns, odf.columns)
+    for c in sdf.columns:
+        ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+        # int vs float (or decimal object) on one side = a schema
+        # mismatch the driver would flag
+        assert ks == ko or {ks, ko} <= {"i", "u"}, (name, c, ks, ko)
     a, b = _canon(sdf), _canon(odf)
     assert len(a) == len(b), (name, len(a), len(b))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

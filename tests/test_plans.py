@@ -138,3 +138,17 @@ def test_no_tokenizer_above_generate(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     above_generate = plan.split("Generate", 1)[0]
     assert "regexp_replace" not in above_generate
+
+
+def test_lsh_dup_pairs_no_cartesian(spark):
+    """Bucketed near-dup must never degrade to an all-pairs cross join."""
+    from text_search_spark.operators import ann
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, -0.5, 2.0] * 16) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann.lsh_dup_pairs(df, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    out.collect()  # and it runs

@@ -116,6 +116,59 @@ def align_spans(pairs: DataFrame, num_close_matches: int = 4) -> DataFrame:
     return pairs.mapInPandas(run, schema=ALIGN_SCHEMA)
 
 
+SUBTITLE_SCHEMA = (
+    "pair_id string, distance int, ref_len int, t_start int, t_end int, "
+    "start_time double, end_time double"
+)
+
+
+def subtitle_align(
+    pairs: DataFrame, max_error_rate: float = 0.15
+) -> DataFrame:
+    """Index-free direct alignment with the error-rate gate — the
+    reference's subtitle variant (/root/reference/examples/subtitle/
+    matching.py:142-166): infix-align each (reference text, transcript)
+    pair, DROP pairs with distance/len(reference) > max_error_rate
+    (gate at :152-153), and read start/end times from the per-symbol
+    times at the aligned span (the byte-vs-codepoint time stride at
+    :159 folds away because `char_times` is already per character).
+
+    pairs: (pair_id string, ref_text string, hyp_text string,
+    char_times array<double>) — char_times aligned to hyp_text chars
+    (operators/transcripts.py output). mapInPandas, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for pid, ref, hyp, times in zip(
+                b["pair_id"], b["ref_text"], b["hyp_text"], b["char_times"]
+            ):
+                q = np.array([ord(c) for c in ref], dtype=np.int32)
+                t = np.array([ord(c) for c in hyp], dtype=np.int32)
+                if q.size == 0 or t.size == 0:
+                    continue
+                dist, aligns = levenshtein_distance(q, t, mode="infix")
+                if dist / q.size > max_error_rate:
+                    continue
+                start, end, _ = aligns[0]
+                end = end + 1 if end + 1 < t.size else end
+                rows.append(
+                    (
+                        pid, int(dist), int(q.size), int(start), int(end),
+                        float(times[start]), float(times[end]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "pair_id", "distance", "ref_len", "t_start", "t_end",
+                    "start_time", "end_time",
+                ],
+            )
+
+    return pairs.mapInPandas(run, schema=SUBTITLE_SCHEMA)
+
+
 def search_and_align(
     spark,
     index_dir: str,

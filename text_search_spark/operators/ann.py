@@ -102,6 +102,45 @@ def lsh_bucket(vec_col, planes: List[List[float]]):
     return bucket
 
 
+def lsh_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs WITHOUT an all-pairs crossJoin:
+    vectors bucket by hyperplane signs (one hash shuffle), candidate
+    pairs form only inside a bucket (equi self-join on bucket), exact
+    rounded cosine filters to >= threshold -> (id_a, id_b, cos).
+
+    At 100 TB the pair count is sum of per-bucket squares instead of
+    N^2; recall is governed by n_planes (near-identical vectors agree on
+    every sign with high probability). The brute-force variant stays
+    available as the small-scale oracle."""
+    planes = hyperplanes(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    j = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        j.select("id_a", "id_b", F.round(cos, 4).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
