@@ -86,3 +86,60 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(fmt.term_stats_dir(batch_dir)).collect()
     }
     assert ts_s == ts_b
+
+
+def test_batch_append_idempotent_under_retry(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch (a) after the
+    manifest commit is a no-op, (b) after a torn append REPLACES that
+    batch's files rather than double-counting (ADVICE r01)."""
+    from text_search_spark.streaming.incremental import _append_batch
+
+    pages = generate_pages(60)
+    pdf = spark.createDataFrame(
+        [(p.url, p.text) for p in pages], "url string, text string"
+    )
+    corpus = prepare_corpus(pdf, url_col="url")
+    ix = str(tmp_path / "ix")
+
+    _append_batch(spark, corpus, ix, batch_id=0)
+    man1 = fmt.load_manifest(ix)
+    seg1 = (
+        spark.read.parquet(fmt.segments_dir(ix))
+        .orderBy("term_id", "shard")
+        .collect()
+    )
+    n_ds1 = spark.read.parquet(fmt.doc_stats_dir(ix)).count()
+
+    # (a) redelivery after commit: no-op
+    _append_batch(spark, corpus, ix, batch_id=0)
+    assert spark.read.parquet(fmt.doc_stats_dir(ix)).count() == n_ds1
+    assert fmt.load_manifest(ix).n_docs == man1.n_docs
+
+    # (b) torn batch: pretend the manifest commit never landed, retry
+    man = fmt.load_manifest(ix)
+    del man.stages["stream:0"]
+    fmt.save_manifest(ix, man)
+    _append_batch(spark, corpus, ix, batch_id=0)
+    man2 = fmt.load_manifest(ix)
+    assert man2.n_docs == man1.n_docs
+    assert man2.total_tokens == man1.total_tokens
+    assert spark.read.parquet(fmt.doc_stats_dir(ix)).count() == n_ds1
+    seg2 = (
+        spark.read.parquet(fmt.segments_dir(ix))
+        .orderBy("term_id", "shard")
+        .collect()
+    )
+    assert len(seg2) == len(seg1)
+    assert [
+        (r.term_id, r.shard, r.df_part, bytes(r.postings)) for r in seg2
+    ] == [(r.term_id, r.shard, r.df_part, bytes(r.postings)) for r in seg1]
+
+
+def test_doc_id_collision_fails_build(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "u1", "a b c"), (1, "u2", "d e f")],
+        "doc_id long, url string, text string",
+    )
+    with pytest.raises(ValueError, match="collision"):
+        build_index(spark, df, str(tmp_path / "ix2"), n_buckets=2,
+                    n_shards=1, bucket_groups=1)

@@ -50,9 +50,11 @@ TOKENS_TMP = "tokens_tmp"
 
 def hash_doc_id(col):
     """Deterministic 60-bit doc_id from a url column — pure function, no
-    shuffle, computable identically in Python/DuckDB (md5 prefix). At 10^12
-    docs prefer the 120-bit two-column variant; uniqueness is asserted by
-    check_doc_id_unique()."""
+    shuffle, computable identically in Python/DuckDB (md5 prefix).
+    Uniqueness is ENFORCED by build_index (count vs countDistinct over
+    doc_stats fails the build on collision; birthday bound ~2^30 docs).
+    Beyond that scale, supply a caller-assigned wider id through
+    prepare_corpus(doc_id_col=...) instead of the hash."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
@@ -484,9 +486,19 @@ def build_index(
             .parquet(fmt.doc_stats_dir(index_dir))
         )
         ds = spark.read.parquet(fmt.doc_stats_dir(index_dir))
-        n_docs, total_tokens = ds.select(
-            F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
+        n_docs, total_tokens, n_distinct = ds.select(
+            F.count("*"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)),
+            F.countDistinct("doc_id"),
         ).first()
+        if int(n_docs) != int(n_distinct):
+            # a silent collision would merge two documents' postings
+            # (60-bit hashed ids: birthday bound ~2^30 docs) — fail the
+            # build instead; callers can re-id or widen the id
+            raise ValueError(
+                f"doc_id collision detected: {n_docs} docs, "
+                f"{n_distinct} distinct doc_ids"
+            )
         man.n_docs = int(n_docs)
         man.total_tokens = int(total_tokens)
         man.avgdl = man.total_tokens / man.n_docs if man.n_docs else 0.0

@@ -90,6 +90,13 @@ def merge_shards(
     seg = spark.read.parquet(fmt.segments_dir(index_dir))
     seg = seg.withColumn("new_shard", (F.col("shard") % s_new).cast("int"))
 
+    from .build import _OUT_ROWS
+
+    _COLS = [
+        "term_bucket", "term_id", "shard", "df_part", "cf_part",
+        "postings", "positions", "blockmax", "bm_avgdl",
+    ]
+
     def splice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cur_key = None
         cur_rows: List[tuple] = []
@@ -111,6 +118,12 @@ def merge_shards(
                 key = (int(b["term_id"].iat[i]), int(b["new_shard"].iat[i]))
                 if key != cur_key:
                     flush()
+                    # emit completed groups incrementally so peak memory
+                    # is bounded by _OUT_ROWS merged segments, not the
+                    # whole partition
+                    if len(out) >= _OUT_ROWS:
+                        yield pd.DataFrame(out, columns=_COLS)
+                        out = []
                     cur_key = key
                     cur_rows = []
                     cur_meta = (
@@ -120,17 +133,8 @@ def merge_shards(
                     )
                 cur_rows.append((b["postings"].iat[i], b["positions"].iat[i]))
         flush()
-        from .build import _sliced  # bounded output batches
-
-        yield from _sliced(
-            pd.DataFrame(
-                out,
-                columns=[
-                    "term_bucket", "term_id", "shard", "df_part", "cf_part",
-                    "postings", "positions", "blockmax", "bm_avgdl",
-                ],
-            )
-        )
+        if out:
+            yield pd.DataFrame(out, columns=_COLS)
 
     schema = (
         "term_bucket int, term_id long, shard int, df_part long, "

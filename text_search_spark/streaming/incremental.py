@@ -28,14 +28,53 @@ fresh stats table is needed.
 from __future__ import annotations
 
 import os
-from typing import Optional
+import shutil
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..textnorm import spark_tokens
 from ..index import format as fmt
-from ..index.build import _auto_size, _segment_builder, _append_metrics
+from ..index.build import _auto_size, _segment_builder
+
+
+def _clean_batch_files(target_dir: str, batch_id: int) -> None:
+    tag = f"batch{batch_id}-"
+    if not os.path.isdir(target_dir):
+        return
+    for root, _dirs, files in os.walk(target_dir):
+        for f in files:
+            if f.startswith(tag):
+                os.remove(os.path.join(root, f))
+
+
+def _append_scoped(
+    write_fn: Callable[[str], None], target_dir: str, batch_id: int
+) -> None:
+    """Idempotent append under foreachBatch's at-least-once semantics:
+    the batch writes to a scratch dir, any files from a previous attempt
+    of the SAME batch are removed, then the new part files move into the
+    target under batch-tagged names. A retry after a partial append
+    therefore replaces — never duplicates — this batch's rows."""
+    tmp = target_dir.rstrip("/") + f"._batch{batch_id}_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    _clean_batch_files(target_dir, batch_id)
+    for root, _dirs, files in os.walk(tmp):
+        rel = os.path.relpath(root, tmp)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            dst_dir = (
+                target_dir if rel == "." else os.path.join(target_dir, rel)
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            os.replace(
+                os.path.join(root, f),
+                os.path.join(dst_dir, f"batch{batch_id}-{f}"),
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _append_batch(
@@ -45,6 +84,10 @@ def _append_batch(
     batch_id: int,
 ) -> None:
     man = fmt.load_manifest(index_dir)
+    if man is not None and man.stages.get(f"stream:{batch_id}"):
+        # this batch already committed (manifest flip is the commit
+        # point) — a redelivery after a post-commit failure is a no-op
+        return
     if man is None:
         man = fmt.IndexManifest(
             format_version=fmt.FORMAT_VERSION,
@@ -52,11 +95,15 @@ def _append_batch(
         )
     batch = batch.select("doc_id", "url", "text")
 
-    # per-batch doc stats
+    # per-batch doc stats (batch-scoped files: retry-safe)
     ds = batch.select(
         "doc_id", "url", F.size(spark_tokens(F.col("text"))).alias("doc_len")
     )
-    ds.write.mode("append").parquet(fmt.doc_stats_dir(index_dir))
+    _append_scoped(
+        lambda p: ds.write.mode("overwrite").parquet(p),
+        fmt.doc_stats_dir(index_dir),
+        batch_id,
+    )
     stats = spark.read.parquet(fmt.doc_stats_dir(index_dir)).select(
         F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
     ).first()
@@ -88,7 +135,7 @@ def _append_batch(
         .join(doc_lens.hint("broadcast"), "doc_id")
     )
     # vocab append: this batch's distinct terms (dedup on read)
-    (
+    vocab = (
         batch.select(F.explode(spark_tokens(F.col("text"))).alias("term"))
         .distinct()
         .select(
@@ -98,9 +145,13 @@ def _append_batch(
             .cast("int")
             .alias("term_bucket"),
         )
-        .write.mode("append")
+    )
+    _append_scoped(
+        lambda p: vocab.write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(fmt.vocab_dir(index_dir))
+        .parquet(p),
+        fmt.vocab_dir(index_dir),
+        batch_id,
     )
     seg_schema = (
         "term_bucket int, term_id long, shard int, df_part long, "
@@ -116,18 +167,36 @@ def _append_batch(
         .sortWithinPartitions("term_id", "shard", "doc_id", "pos")
         .mapInArrow(_segment_builder(batch_avgdl), schema=seg_schema)
     )
-    seg.write.mode("append").partitionBy("term_bucket").parquet(
-        fmt.segments_dir(index_dir)
+    _append_scoped(
+        lambda p: seg.write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(p),
+        fmt.segments_dir(index_dir),
+        batch_id,
     )
-    _append_metrics(
-        spark,
-        index_dir,
-        f"stream:{batch_id}",
-        f"stream_batch:{batch_id}",
-        "batch",
-        batch.count(),
-        0,
-        0,
+    # metrics row, batch-scoped like the data files
+    import datetime as _dt
+
+    metrics = spark.createDataFrame(
+        [
+            (
+                f"stream:{batch_id}",
+                f"stream_batch:{batch_id}",
+                "batch",
+                int(batch.count()),
+                0,
+                0,
+                "complete",
+                _dt.datetime.now(_dt.timezone.utc),
+            )
+        ],
+        "run_id string, stage string, unit string, docs long, "
+        "postings long, bytes long, status string, updated_at timestamp",
+    )
+    _append_scoped(
+        lambda p: metrics.coalesce(1).write.mode("overwrite").parquet(p),
+        fmt.metrics_dir(index_dir),
+        batch_id,
     )
     # manifest commit LAST (atomic rename) — queries flip to the new state
     man.n_docs = n_docs
