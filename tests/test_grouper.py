@@ -1,0 +1,99 @@
+"""Unit contract of the map-side (doc, term) grouper (build._doc_grouper):
+one output row per distinct (doc, term); tf and doc_len exact; pos_blob is
+varbyte(absolute first position, then deltas) — the positions-sidecar
+per-run byte layout, checked against a naive per-token reference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from text_search_spark.codec import varbyte_decode, varbyte_encode
+from text_search_spark.index.build import _doc_grouper
+
+
+def _run(doc_ids, token_lists):
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids, pa.int64()),
+            pa.array(token_lists, pa.list_(pa.string())),
+        ],
+        names=["doc_id", "tokens"],
+    )
+    out = list(_doc_grouper(iter([batch])))
+    rows = []
+    for b in out:
+        for i in range(b.num_rows):
+            rows.append(
+                (
+                    b.column(0)[i].as_py(),
+                    b.column(1)[i].as_py(),
+                    b.column(2)[i].as_py(),
+                    b.column(3)[i].as_py(),
+                    b.column(4)[i].as_py(),
+                )
+            )
+    return rows
+
+
+def _naive(doc_ids, token_lists):
+    rows = {}
+    for d, toks in zip(doc_ids, token_lists):
+        for p, t in enumerate(toks):
+            rows.setdefault((d, t), []).append(p)
+    out = []
+    for (d, t), ps in rows.items():
+        gaps = [ps[0]] + [b - a for a, b in zip(ps, ps[1:])]
+        out.append(
+            (d, len(token_lists[doc_ids.index(d)]), t, len(ps),
+             varbyte_encode(np.array(gaps, dtype=np.uint64)))
+        )
+    return out
+
+
+def test_grouper_matches_naive():
+    doc_ids = [10, 20, 30]
+    toks = [
+        ["a", "b", "a", "c", "a"],
+        ["b", "b"],
+        [],
+    ]
+    got = sorted(_run(doc_ids, toks))
+    want = sorted(_naive(doc_ids, toks))
+    assert got == want
+
+
+def test_grouper_positions_decode():
+    rows = _run([7], [["x", "y", "x", "x", "z", "y"]])
+    by_term = {r[2]: r for r in rows}
+    assert by_term["x"][3] == 3
+    ps = np.cumsum(varbyte_decode(by_term["x"][4]))
+    assert list(ps) == [0, 2, 3]
+    assert list(np.cumsum(varbyte_decode(by_term["y"][4]))) == [1, 5]
+
+
+def test_grouper_empty_and_null_batches():
+    empty = pa.RecordBatch.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.list_(pa.string()))],
+        names=["doc_id", "tokens"],
+    )
+    assert list(_doc_grouper(iter([empty]))) == []
+    all_empty = _run([1, 2], [[], []])
+    assert all_empty == []
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dddd", "e"]),
+                 max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_grouper_property(token_lists):
+    doc_ids = list(range(100, 100 + len(token_lists)))
+    got = sorted(_run(doc_ids, token_lists))
+    want = sorted(_naive(doc_ids, token_lists))
+    assert got == want

@@ -4,9 +4,11 @@ Replaces the reference's single-process suffix-array index build
 (/root/reference/textsearch/python/textsearch/suffix_array.py:46-89,
 csrc/suffix_array.cc:58-140) with a Spark-native pipeline:
 
-  corpus --(JVM tokenizer expr, no Python)--> exploded tokens
+  corpus --(JVM tokenizer expr, no Python)--> token arrays
+         --(map-side Arrow grouper: one row per (doc, term), positions
+            pre-encoded)--> posting rows
          --(ONE hash shuffle on (term_bucket, shard))--> sorted partitions
-         --(streaming mapInPandas, NumPy codec)--> compressed segments
+         --(streaming mapInArrow, NumPy codec)--> compressed segments
 
 Scale design:
   * `shard = pmod(xxhash64(doc_id), n_shards)` bounds head-term (Zipf) skew:
@@ -15,7 +17,13 @@ Scale design:
     function of doc_id, shards are doc-disjoint CONSISTENTLY across terms,
     which makes query-time scoring doc-sharded (no cross-term data motion,
     fixed float64 summation order; see query.py).
-  * Sort-based segment build: sortWithinPartitions(term, shard, doc_id, pos)
+  * Map-side (doc, term) grouping BEFORE the shuffle (one doc = one input
+    row, so the reduction completes map-side with no extra exchange): the
+    shuffle carries one row per distinct (doc, term) with tf + varbyte
+    positions blob instead of one row per token — row count drops by the
+    mean within-doc term frequency, and the positions varbyte work runs
+    corpus-parallel pre-shuffle.
+  * Sort-based segment build: sortWithinPartitions(term, shard, doc_id)
     + a streaming Arrow UDF — no collect_list, no per-group Python, memory
     bounded by the largest (term, shard) partial.
   * Sizing rule at scale: pick n_shards so max_df/n_shards postings fit an
@@ -109,11 +117,13 @@ _CHUNK_ROWS = 262_144
 
 
 def _build_chunk_arrays(
-    codes: np.ndarray,
+    term_ids: np.ndarray,
     shard: np.ndarray,
     doc_id: np.ndarray,
     doc_len: np.ndarray,
-    pos: np.ndarray,
+    tf: np.ndarray,
+    pos_data: np.ndarray,
+    pos_offs: np.ndarray,
     bucket: np.ndarray,
     avgdl: float,
 ):
@@ -121,11 +131,15 @@ def _build_chunk_arrays(
     COMPLETE (term, shard) groups — emits the v2 block-skippable format
     (codec.py): block-structured postings (doc/tf/dl), a SEPARATE positions
     sidecar (scoring never reads position bytes), and the block-max
-    directory. One varbyte pass for the whole chunk; per-group cost is a
-    byte-slice + small header assembly.
+    directory.
 
-    `codes` are chunk-local dense term codes (Arrow dictionary indices —
-    term STRINGS never become Python objects on this path). Returns
+    Input is ONE ROW PER (term, shard, doc) RUN — the map-side grouper
+    (_doc_grouper) already collapsed per-token rows and pre-encoded each
+    run's positions as varbyte(absolute-first, then deltas), the exact
+    per-run byte layout of the positions sidecar, so a group's positions
+    column is a pure byte-range slice of the concatenated run blobs
+    (`pos_data` flat uint8 buffer + `pos_offs` per-row offsets). Term
+    strings never become Python objects on this path. Returns
     (g_start_rows, columns-dict-without-term)."""
     from ..codec import (
         _BM_DTYPE,
@@ -136,37 +150,27 @@ def _build_chunk_arrays(
         varbyte_encode_with_sizes,
     )
 
-    n = doc_id.size
+    n = doc_id.size  # == number of doc-runs R
     gchange = np.concatenate(
-        [[True], (codes[1:] != codes[:-1]) | (shard[1:] != shard[:-1])]
+        [[True], (term_ids[1:] != term_ids[:-1]) | (shard[1:] != shard[:-1])]
     )
-    dchange = gchange | np.concatenate([[True], doc_id[1:] != doc_id[:-1]])
-
     g_start_rows = np.flatnonzero(gchange)  # row index of each group start
     G = g_start_rows.size
-    rows_per_g = np.diff(np.append(g_start_rows, n))
+    nd = np.diff(np.append(g_start_rows, n))  # docs per group
+    udocs = doc_id
+    dls = doc_len
+    tfs = tf
+    R = n
 
-    drun_starts = np.flatnonzero(dchange)  # row index of each (g, doc) run
-    udocs = doc_id[drun_starts]
-    dls = doc_len[drun_starts]
-    tfs = np.diff(np.append(drun_starts, n))
-    R = drun_starts.size
-
-    # group id per doc-run / per row
-    grp_of_run = np.searchsorted(g_start_rows, drun_starts, side="right") - 1
-    nd = np.bincount(grp_of_run, minlength=G)  # docs per group
-    run_g_start = np.concatenate([[0], np.cumsum(nd)])  # run idx per group
-    run_rank = np.arange(R) - run_g_start[grp_of_run]
+    grp_of_run = np.repeat(np.arange(G), nd)
+    run_rank = np.arange(R) - np.repeat(g_start_rows, nd)
+    run_g_start = np.append(g_start_rows, n)
 
     # doc gaps: plain delta, absolute at each group's first doc (block-
     # boundary decode bases come from the block-max sidecar's last_doc)
     doc_gaps = udocs.copy()
     doc_gaps[1:] = udocs[1:] - udocs[:-1]
-    first_run = run_g_start[:-1]  # first doc-run index of each group
-    doc_gaps[first_run] = udocs[first_run]
-    pos_gaps = pos.copy()
-    pos_gaps[1:] = pos[1:] - pos[:-1]
-    pos_gaps[drun_starts] = pos[drun_starts]
+    doc_gaps[g_start_rows] = udocs[g_start_rows]
 
     # ---- blocks (globally numbered, groups contiguous) ----
     nblocks = (nd + BLOCK - 1) // BLOCK
@@ -211,13 +215,13 @@ def _build_chunk_arrays(
         for g in range(G)
     ]
 
-    # ---- positions sidecar (row order == group order) ----
-    qbuf, qsizes = varbyte_encode_with_sizes(pos_gaps.astype(np.uint64))
-    q_byte_off = np.concatenate([[0], np.cumsum(qsizes)])
-    g_pos_start = q_byte_off[g_start_rows]
-    g_pos_end = q_byte_off[np.append(g_start_rows[1:], n)]
+    # ---- positions sidecar (row order == group order): each run's blob
+    # is already the final per-run byte encoding, so a group's positions
+    # column is one contiguous slice of the chunk's flat blob buffer ----
+    g_pos_start = pos_offs[g_start_rows]
+    g_pos_end = pos_offs[np.append(g_start_rows[1:], n)]
     positions_col = [
-        qbuf[s:e] for s, e in zip(g_pos_start, g_pos_end)
+        pos_data[s:e].tobytes() for s, e in zip(g_pos_start, g_pos_end)
     ]
 
     # ---- block-max sidecar ----
@@ -238,7 +242,9 @@ def _build_chunk_arrays(
         "term_bucket": bucket[g_start_rows].astype(np.int32),
         "shard": shard[g_start_rows].astype(np.int32),
         "df_part": nd.astype(np.int64),
-        "cf_part": rows_per_g.astype(np.int64),
+        "cf_part": np.add.reduceat(tfs, g_start_rows).astype(np.int64)
+        if R
+        else np.empty(0, np.int64),
         "postings": postings_col,
         "positions": positions_col,
         "blockmax": [bm_bytes[s:e] for s, e in zip(bm_start, bm_end)],
@@ -282,13 +288,141 @@ def _seg_arrow_schema():
     return _SEG_ARROW_SCHEMA
 
 
+def _flat_binary(arr):
+    """(flat uint8 data, int64 per-row offsets) view of an Arrow binary
+    array — no per-row Python bytes objects."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs_buf = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offs = offs_buf[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, offs
+
+
+def _doc_grouper(batches):
+    """Map-side (doc, term) pre-aggregation (mapInArrow, runs BEFORE the
+    shuffle): (doc_id long, tokens array<string>) batches -> one row per
+    DISTINCT (doc, term): (doc_id, doc_len, term, tf, pos_blob).
+
+    pos_blob is varbyte(absolute first position, then deltas) — the exact
+    per-run byte layout of the index's positions sidecar, so the
+    post-shuffle segment builder concatenates blobs instead of re-encoding.
+    Cuts shuffle rows by the average within-doc term frequency and removes
+    the per-token row explosion entirely; replaces the former
+    posexplode + broadcast-join(doc_len) plan, which could not broadcast
+    doc_stats at 10^12 docs. Vectorized: token strings stay in Arrow
+    buffers (dictionary_encode + take); the only per-token numpy work is
+    one stable integer argsort per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..codec import varbyte_encode_with_sizes
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        doc_ids = (
+            batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        la = batch.column(1)
+        if la.null_count:
+            # defensive: JVM side coalesces to array(); never expected here
+            la = pc.fill_null(la, [])
+        offs = la.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        flat = la.flatten()
+        n_tok = len(flat)
+        if n_tok == 0:
+            continue
+        lens = np.diff(offs)
+        d_idx = np.repeat(np.arange(len(doc_ids)), lens)
+        pos = np.arange(n_tok, dtype=np.int64) - np.repeat(offs[:-1], lens)
+        denc = pc.dictionary_encode(flat)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_vals = denc.dictionary
+        key = d_idx * np.int64(len(dict_vals) + 1) + codes
+        order = np.argsort(key, kind="stable")  # stable: pos stays ascending
+        skey = key[order]
+        spos = pos[order]
+        rchange = np.concatenate([[True], skey[1:] != skey[:-1]])
+        rstarts = np.flatnonzero(rchange)
+        tf = np.diff(np.append(rstarts, n_tok))
+        pgaps = spos.copy()
+        pgaps[1:] = spos[1:] - spos[:-1]
+        pgaps[rstarts] = spos[rstarts]
+        buf, sizes = varbyte_encode_with_sizes(pgaps.astype(np.uint64))
+        b_off = np.concatenate([[0], np.cumsum(sizes)])
+        blob_offs = np.append(b_off[rstarts], b_off[-1]).astype(np.int32)
+        pos_blob = pa.Array.from_buffers(
+            pa.binary(),
+            rstarts.size,
+            [None, pa.py_buffer(blob_offs.tobytes()), pa.py_buffer(buf)],
+        )
+        run_d = d_idx[order][rstarts]
+        run_code = codes[order][rstarts]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids[run_d], pa.int64()),
+                pa.array(lens[run_d].astype(np.int32), pa.int32()),
+                pc.take(dict_vals, pa.array(run_code)),
+                pa.array(tf, pa.int64()),
+                pos_blob,
+            ],
+            names=["doc_id", "doc_len", "term", "tf", "pos_blob"],
+        )
+
+
+_GROUPED_SCHEMA = (
+    "doc_id long, doc_len int, term string, tf long, pos_blob binary"
+)
+
+
+def grouped_postings(
+    corpus: DataFrame, n_buckets: int, n_shards: int
+) -> DataFrame:
+    """The pre-shuffle posting relation: one row per (doc, term) with
+    pre-encoded positions. Tokenization stays a JVM expression
+    (byte-identity contract); the grouper UDF only sees token arrays.
+    term_id/bucket/shard hashing stays JVM-side (xxhash64) so query-side
+    lookups match; term strings are dropped before the shuffle."""
+    toks = corpus.select(
+        "doc_id",
+        F.coalesce(
+            spark_tokens(F.col("text")), F.array().cast("array<string>")
+        ).alias("tokens"),
+    )
+    rows = toks.mapInArrow(_doc_grouper, schema=_GROUPED_SCHEMA)
+    return (
+        rows.select(
+            "doc_id",
+            "doc_len",
+            "tf",
+            "pos_blob",
+            F.xxhash64("term").alias("term_id"),
+        )
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
+        )
+    )
+
+
 def _segment_builder(avgdl: float):
     """Streaming mapInArrow fn: sorted (term_bucket, shard, term_id,
-    doc_id, doc_len, pos) record batches -> one segment row per
-    (term_id, shard) group. Arrow-native and string-free: every column is
-    an int, zero-copy to numpy. Accumulates batches into chunks, holds
-    back the possibly-incomplete trailing group, flushes vectorized, and
-    yields bounded (<= _OUT_ROWS) output batches."""
+    doc_id, doc_len, tf, pos_blob) record batches — one row per doc-run,
+    from grouped_postings() — -> one segment row per (term_id, shard)
+    group. Arrow-native and string-free: every column is an int or a
+    binary view, zero-copy to numpy. Accumulates batches into chunks,
+    holds back the possibly-incomplete trailing group, flushes vectorized,
+    and yields bounded (<= _OUT_ROWS) output batches."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -302,12 +436,15 @@ def _segment_builder(avgdl: float):
             .astype(np.int64)
         )
         term_ids = col("term_id")
+        pos_data, pos_offs = _flat_binary(tbl.column("pos_blob"))
         g_start_rows, cols = _build_chunk_arrays(
             term_ids,
             col("shard"),
             col("doc_id"),
             col("doc_len"),
-            col("pos"),
+            col("tf"),
+            pos_data,
+            pos_offs,
             col("term_bucket"),
             avgdl,
         )
@@ -512,38 +649,17 @@ def build_index(
         )
         checkpoint("doc_stats")
 
-    def exploded_tokens() -> DataFrame:
-        # The big shuffle carries term_id = xxhash64(term), an int64 —
-        # never strings (~45% shuffle-volume cut; term<->id uniqueness is
-        # asserted by the vocab stage). NOTE: doc_len deliberately joins
-        # back from doc_stats instead of computing F.size(toks) inline
-        # next to the posexplode: Catalyst collapses the size() projection
-        # ABOVE the Generate, re-running the whole tokenizer expression
-        # once per GENERATED ROW (~doc_len times per doc) — a silent ~100x
-        # plan regression, pinned by
-        # tests/test_plans.py::test_no_tokenizer_above_generate.
-        tokens = (
-            corpus.select("doc_id", F.col("text"))
-            .select(
-                "doc_id",
-                F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
-            )
-            .select(
-                "doc_id", "pos", F.xxhash64("term").alias("term_id")
-            )
-            .withColumn(
-                "term_bucket",
-                F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"),
-            )
-            .withColumn(
-                "shard",
-                F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
-            )
-        )
-        doc_lens = spark.read.parquet(fmt.doc_stats_dir(index_dir)).select(
-            "doc_id", "doc_len"
-        )
-        return tokens.join(doc_lens.hint("broadcast"), "doc_id")
+    def posting_rows() -> DataFrame:
+        # The big shuffle carries ONE ROW PER (doc, term) — the map-side
+        # grouper collapses per-token rows and pre-encodes positions
+        # (grouped_postings) — with term_id = xxhash64(term), an int64,
+        # never strings (term<->id uniqueness is asserted by the vocab
+        # stage). No doc_len join: the grouper computes it in-batch (the
+        # former broadcast join could not broadcast doc_stats at 10^12
+        # docs, and the inline-size() alternative hit a Catalyst
+        # CollapseProject hazard — see
+        # tests/test_plans.py::test_no_tokenizer_above_generate).
+        return grouped_postings(corpus, n_buckets, n_shards)
 
     # ---- stage: vocab (the term dictionary; distinct terms only, so the
     # map-side-combined shuffle is tiny next to the posting shuffle) ----
@@ -575,14 +691,14 @@ def build_index(
             )
         checkpoint("vocab")
 
-    # ---- stage: tokens_tmp (explode materialized ONLY when the segment
-    # stage is split into multiple resumable units — a single-unit build
-    # fuses explode -> shuffle -> sort -> build into one job instead of
-    # paying a full write+read of the exploded relation) ----
+    # ---- stage: tokens_tmp (posting rows materialized ONLY when the
+    # segment stage is split into multiple resumable units — a single-unit
+    # build fuses group -> shuffle -> sort -> build into one job instead
+    # of paying a full write+read of the posting relation) ----
     materialize = bucket_groups > 1
     if materialize and not man.stages.get("tokens"):
         (
-            exploded_tokens()
+            posting_rows()
             .repartition(
                 max(n_buckets, spark.sparkContext.defaultParallelism),
                 "term_bucket",
@@ -613,12 +729,12 @@ def build_index(
                 F.col("term_bucket").isin(buckets)  # partition-pruned scan
             )
         else:
-            toks = exploded_tokens()
+            toks = posting_rows()
         seg = (
             toks.repartition(
                 max(len(buckets) * n_shards, 1), "term_bucket", "shard"
             )
-            .sortWithinPartitions("term_id", "shard", "doc_id", "pos")
+            .sortWithinPartitions("term_id", "shard", "doc_id")
             .mapInArrow(_segment_builder(man.avgdl), schema=seg_schema)
         )
         (

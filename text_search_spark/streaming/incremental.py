@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..textnorm import spark_tokens
 from ..index import format as fmt
-from ..index.build import _auto_size, _segment_builder
+from ..index.build import _auto_size, _segment_builder, grouped_postings
 
 
 def _clean_batch_files(target_dir: str, batch_id: int) -> None:
@@ -117,23 +117,9 @@ def _append_batch(
     n_buckets, n_shards = man.n_buckets, man.n_shards
     batch_avgdl = total_tokens / n_docs if n_docs else 0.0
 
-    doc_lens = ds.select("doc_id", "doc_len")
-    tokens = (
-        batch.select(
-            "doc_id",
-            F.posexplode(spark_tokens(F.col("text"))).alias("pos", "term"),
-        )
-        .select("doc_id", "pos", F.xxhash64("term").alias("term_id"))
-        .withColumn(
-            "term_bucket",
-            F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"),
-        )
-        .withColumn(
-            "shard",
-            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
-        )
-        .join(doc_lens.hint("broadcast"), "doc_id")
-    )
+    # one row per (doc, term), positions pre-encoded map-side — the same
+    # posting relation the batch builder shuffles (build.grouped_postings)
+    tokens = grouped_postings(batch, n_buckets, n_shards)
     # vocab append: this batch's distinct terms (dedup on read)
     vocab = (
         batch.select(F.explode(spark_tokens(F.col("text"))).alias("term"))
@@ -164,7 +150,7 @@ def _append_batch(
             "term_bucket",
             "shard",
         )
-        .sortWithinPartitions("term_id", "shard", "doc_id", "pos")
+        .sortWithinPartitions("term_id", "shard", "doc_id")
         .mapInArrow(_segment_builder(batch_avgdl), schema=seg_schema)
     )
     _append_scoped(
