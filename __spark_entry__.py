@@ -244,6 +244,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_pairs"] = lsh_pairs
 
+    def lsh_pairs_shingled(spark, sf_dir):
+        # the web-scale near-dup configuration: 3-token-shingle minhash +
+        # 4-row bands (collision prob s^4 per band) — candidate pairs are
+        # actual near-duplicates, not same-language vocabulary overlap
+        sigs = dedup.minhash_signatures(
+            _t(spark, sf_dir, "documents"), shingle_n=3
+        )
+        return dedup.lsh_candidate_pairs(sigs, rows_per_band=4)
+
+    q["lsh_pairs_shingled"] = lsh_pairs_shingled
+
     def simhash(spark, sf_dir):
         return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -272,6 +283,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann.lsh_cosine_topk(e, qs, k=5)
 
     q["ann_lsh_topk"] = ann_lsh_topk
+
+    def ann_ivf_topk(spark, sf_dir):
+        # IVF scale path: coarse-quantizer cells + nprobe probing; the
+        # cell assignment is a per-row JVM array argmax (no shuffle)
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return ann.ivf_topk(e, qs, k=5, n_cells=16, nprobe=4)
+
+    q["ann_ivf_topk"] = ann_ivf_topk
 
     # ---- text analysis ----
     q["langid"] = lambda spark, sf_dir: textstats.langid_scores(
@@ -988,6 +1010,29 @@ JOIN (SELECT * FROM sized WHERE bsz <= 1000) b
   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 """
 
+    shingled_bands = " UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band, "
+        f"md5(h{4*b} || '|' || h{4*b+1} || '|' || h{4*b+2} || '|' || "
+        f"h{4*b+3}) AS bucket FROM sigs"
+        for b in range(dedup.NUM_MINHASHES // 4)
+    )
+    o["lsh_pairs_shingled"] = f"""
+WITH {_TOKS},
+sh3 AS (SELECT DISTINCT a.doc_id,
+        a.term || ' ' || b.term || ' ' || c.term AS term
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sigs AS (SELECT doc_id, {mh_cols} FROM sh3 GROUP BY doc_id),
+bands AS ({shingled_bands}),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+          FROM bands)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM (SELECT * FROM sized WHERE bsz <= 1000) a
+JOIN (SELECT * FROM sized WHERE bsz <= 1000) b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
     # simhash: 60 per-bit signed sums over distinct-term md5 bits
     sums = []
     for j in range(dedup.SIMHASH_BITS // 4):
@@ -1418,6 +1463,42 @@ cos AS (SELECT d.q_id, d.vec_id,
   JOIN norms nb ON nb.vec_id = d.vec_id),
 ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
   ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM cos)
+SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+    # ---- ann_ivf_topk: replicate the IVF exactly — cells = the 16
+    # lowest-id embeddings, per-vector argmax assignment (rounded cos,
+    # lowest cell on ties), queries probe their 4 nearest cells ----
+    o["ann_ivf_topk"] = """
+WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+cent_ids AS (SELECT vec_id AS cid,
+  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+cdots AS (SELECT a.vec_id, c.cell,
+  round(sum(a.v * b.v) / (na.nrm * nb.nrm), 4) AS cos
+  FROM ex a JOIN cent_ids c ON true
+  JOIN ex b ON b.vec_id = c.cid AND b.i = a.i
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = c.cid
+  GROUP BY a.vec_id, c.cell, na.nrm, nb.nrm),
+assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number()
+  OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn FROM cdots)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM (SELECT vec_id, cell,
+  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+  FROM cdots WHERE vec_id < 5) WHERE rn <= 4),
+dots AS (SELECT p.q_id, a.vec_id,
+  round(sum(ea.v * eq.v) / (na.nrm * nq.nrm), 4) AS cos
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.q_id
+  JOIN ex ea ON ea.vec_id = a.vec_id
+  JOIN ex eq ON eq.vec_id = p.q_id AND eq.i = ea.i
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nq ON nq.vec_id = p.q_id
+  GROUP BY 1, 2, na.nrm, nq.nrm),
+ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM dots)
 SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
 """
 

@@ -109,13 +109,26 @@ def child(cores: int) -> None:
     bm25_topk_df(spark, warm, [QuerySpec("w", ["the"], "or")], k=5).collect()
     shutil.rmtree(warm, ignore_errors=True)
 
-    ix = f"/tmp/tss_scale_ix_{cores}"
-    shutil.rmtree(ix, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_index(
-        spark, corpus, ix, n_buckets=None, n_shards=None, bucket_groups=1
-    )
-    build_s = time.perf_counter() - t0
+    # Run the timed build several times IN THE SAME JVM and report the
+    # best as steady-state: one-time costs (JIT, first-touch page faults,
+    # worker allocator-arena warm-up) are large on this VM and mostly
+    # core-count-independent — measured 107 -> 77 -> 50 s for the same
+    # segment job at 16 cores — so a single cold run drowns the scaling
+    # signal. A production 100 TB build runs for hours and amortizes
+    # those costs to zero; steady-state is the honest throughput. The
+    # first (cold) time is reported alongside.
+    inner = int(os.environ.get("TSS_SCALE_INNER", "3"))
+    runs = []
+    for j in range(inner):
+        ix = f"/tmp/tss_scale_ix_{cores}"
+        shutil.rmtree(ix, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(
+            spark, corpus, ix, n_buckets=None, n_shards=None, bucket_groups=1
+        )
+        runs.append(time.perf_counter() - t0)
+    build_s = min(runs)
+    cold_s = runs[0]
 
     ts = spark.read.parquet(ixfmt.term_stats_dir(ix))
     terms = [
@@ -138,6 +151,8 @@ def child(cores: int) -> None:
             {
                 "cores": cores,
                 "build_s": round(build_s, 3),
+                "build_cold_s": round(cold_s, 3),
+                "build_runs_s": [round(x, 3) for x in runs],
                 "docs_per_s": round(N_DOCS / build_s, 1),
                 "query50_s": round(query_s, 3),
                 "n_buckets": man.n_buckets,

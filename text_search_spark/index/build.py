@@ -730,26 +730,35 @@ def build_index(
             )
         else:
             toks = posting_rows()
+        from pyspark.sql import Observation
+
+        obs = Observation(f"seg_metrics_{gi}")
         seg = (
             toks.repartition(
                 max(len(buckets) * n_shards, 1), "term_bucket", "shard"
             )
             .sortWithinPartitions("term_id", "shard", "doc_id")
             .mapInArrow(_segment_builder(man.avgdl), schema=seg_schema)
+            # metrics ride the write job itself — re-reading the segments
+            # just written would be a second full scan of the new index
+            # data per bucket-group (expensive at scale, pure overhead
+            # locally)
+            .observe(
+                obs,
+                F.coalesce(F.sum("df_part"), F.lit(0)).alias("docs"),
+                F.coalesce(F.sum("cf_part"), F.lit(0)).alias("postings"),
+                F.coalesce(F.sum(F.length("postings")), F.lit(0)).alias(
+                    "nbytes"
+                ),
+            )
         )
         (
             seg.write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(fmt.segments_dir(index_dir))
         )
-        written = spark.read.parquet(fmt.segments_dir(index_dir)).where(
-            F.col("term_bucket").isin(buckets)
-        )
-        docs, postings, nbytes = written.select(
-            F.coalesce(F.sum("df_part"), F.lit(0)),
-            F.coalesce(F.sum("cf_part"), F.lit(0)),
-            F.coalesce(F.sum(F.length("postings")), F.lit(0)),
-        ).first()
+        got = obs.get
+        docs, postings, nbytes = got["docs"], got["postings"], got["nbytes"]
         _append_metrics(
             spark,
             index_dir,

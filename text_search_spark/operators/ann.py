@@ -177,3 +177,107 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos")
     )
+
+
+def _centroids(
+    vectors: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> List[tuple]:
+    """Deterministic coarse quantizer: the embeddings of the n_cells
+    lowest-id vectors, with precomputed norms. A trained k-means would
+    give tighter cells, but a data-derived deterministic quantizer keeps
+    the operator reproducible across engines (the DuckDB oracle replays
+    it exactly); swapping in trained centroids is a drop-in (same shape).
+    """
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("id")
+        .limit(n_cells)
+        .collect()
+    )
+    out = []
+    for cell, r in enumerate(rows):
+        v = np.asarray(r.v, dtype=np.float64)
+        out.append((cell, r.v, float(np.sqrt((v * v).sum()))))
+    return out
+
+
+def _cell_scores(vec_col, cents: List[tuple], round_digits: int = 4):
+    """array<struct<cos, negcell>> of rounded cosines against every
+    centroid — a pure per-row JVM expression (no explode, no shuffle)."""
+    entries = []
+    for cell, cvec, cnorm in cents:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = F.round(
+            _dot(vec_col, c) / (_norm(vec_col) * F.lit(cnorm)), round_digits
+        )
+        entries.append(F.struct(cos.alias("cos"), F.lit(-cell).alias("nc")))
+    return F.array(*entries)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF approximate cosine top-k: (q_id, rank, vec_id, cos).
+
+    Index side: every vector is assigned to its nearest coarse-quantizer
+    cell with a per-row array argmax (array_max over struct(cos, -cell)
+    — lexicographic struct order = highest cosine, lowest cell on ties)
+    — NO shuffle and no row explosion; at scale the assignment rides the
+    ingest scan and the inverted lists are just `partitionBy(cell)`.
+    Query side: each query probes its `nprobe` nearest cells; candidates
+    are only the vectors in probed cells (join on cell against the
+    broadcast probe set), then exact rounded cosine + per-query top-k.
+    Scan fraction ~ nprobe/n_cells of brute force; recall governed by
+    nprobe. Ties broken by (cos desc, vec_id asc) like cosine_topk."""
+    cents = _centroids(vectors, n_cells, id_col, vec_col)
+    cand = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("best", F.array_max(_cell_scores(F.col("v"), cents)))
+        .select("vec_id", "v", (-F.col("best.nc")).alias("cell"))
+    )
+    qs = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(q_vec_col).cast("array<double>").alias("q"),
+        )
+        .withColumn(
+            "probes",
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores(F.col("q"), cents))),
+                1,
+                nprobe,
+            ),
+        )
+        .select(
+            "q_id", "q", F.explode(F.col("probes.nc")).alias("nc")
+        )
+        .select("q_id", "q", (-F.col("nc")).alias("cell"))
+    )
+    joined = cand.join(F.broadcast(qs), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q"))),
+        4,
+    )
+    scored = joined.select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos")
+    )

@@ -52,15 +52,31 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = NUM_MINHASHES,
+    shingle_n: Optional[int] = None,
 ) -> DataFrame:
-    """(id, h0..h{n-1}) — per-slot min of md5('<i>|'||term) over distinct
-    terms. Docs with no tokens are dropped (no signature)."""
-    terms = _distinct_terms(df, text_col, id_col)
+    """(id, h0..h{n-1}) — per-slot min of md5('<i>|'||unit) over the doc's
+    distinct units. Docs with no units are dropped (no signature).
+
+    shingle_n=None hashes distinct TERMS (cheap, but same-language docs
+    share most common words, so term-set Jaccard is high and LSH bands
+    lose selectivity — fine for clustering, poor as a near-dup filter).
+    shingle_n=k hashes distinct k-token SHINGLES — the standard web-dedup
+    configuration: shingle-set Jaccard is near zero for unrelated docs, so
+    band buckets only group real near-duplicates."""
+    if shingle_n is None:
+        units = _distinct_terms(df, text_col, id_col)
+    else:
+        units = df.select(
+            F.col(id_col),
+            F.explode(
+                shingles(spark_tokens(F.col(text_col)), shingle_n)
+            ).alias("term"),
+        ).distinct()
     aggs = [
         F.min(minhash_col(F.col("term"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return terms.groupBy(id_col).agg(*aggs)
+    return units.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
