@@ -83,6 +83,34 @@ def test_grouper_empty_and_null_batches():
     assert all_empty == []
 
 
+def test_grouper_bounded_slicing_equivalence(monkeypatch):
+    """Oversized input batches are re-sliced to bound the working set;
+    output must be identical at any slice granularity (docs never split)."""
+    import text_search_spark.index.build as B
+
+    doc_ids = list(range(50))
+    toks = [[f"w{j % 7}" for j in range(40 + i)] for i in range(50)]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids, pa.int64()),
+            pa.array(toks, pa.list_(pa.string())),
+        ],
+        names=["doc_id", "tokens"],
+    )
+
+    def collect(max_tokens):
+        monkeypatch.setattr(B, "_GROUPER_MAX_TOKENS", max_tokens)
+        rows = []
+        for b in B._doc_grouper(iter([batch])):
+            for i in range(b.num_rows):
+                rows.append(tuple(b.column(c)[i].as_py() for c in range(5)))
+        return sorted(rows)
+
+    full, tiny, degenerate = collect(10**9), collect(100), collect(1)
+    assert full == tiny == degenerate
+    assert len(full) == 50 * 7
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.lists(

@@ -320,9 +320,26 @@ def _doc_grouper(batches):
 
     from ..codec import varbyte_encode_with_sizes
 
-    for batch in batches:
-        if batch.num_rows == 0:
-            continue
+    def bounded(batches):
+        # Re-slice oversized input batches: Spark batches the input by ROW
+        # count (spark.sql.execution.arrow.maxRecordsPerBatch, default
+        # 65536 docs), so long web documents could put hundreds of
+        # millions of tokens in one batch — the per-batch argsort and
+        # encode working set must stay bounded regardless of doc length.
+        # A doc is never split (slicing is at row granularity).
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            toks_in_batch = len(batch.column(1).flatten())
+            if toks_in_batch <= _GROUPER_MAX_TOKENS or n == 1:
+                yield batch
+                continue
+            step = max(1, int(n * _GROUPER_MAX_TOKENS / toks_in_batch))
+            for s in range(0, n, step):
+                yield batch.slice(s, min(step, n - s))
+
+    for batch in bounded(batches):
         doc_ids = (
             batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
         )
@@ -379,6 +396,11 @@ def _doc_grouper(batches):
 _GROUPED_SCHEMA = (
     "doc_id long, doc_len int, term string, tf long, pos_blob binary"
 )
+
+# per-invocation working-set bound for the grouper (tokens per processed
+# sub-batch); ~1M tokens keeps the argsort + varbyte buffers in the tens
+# of MB regardless of document length
+_GROUPER_MAX_TOKENS = 1_048_576
 
 
 def grouped_postings(
