@@ -386,7 +386,7 @@ def _doc_grouper(batches):
                 pa.array(doc_ids[run_d], pa.int64()),
                 pa.array(lens[run_d].astype(np.int32), pa.int32()),
                 pc.take(dict_vals, pa.array(run_code)),
-                pa.array(tf, pa.int64()),
+                pa.array(tf.astype(np.int32), pa.int32()),
                 pos_blob,
             ],
             names=["doc_id", "doc_len", "term", "tf", "pos_blob"],
@@ -394,7 +394,7 @@ def _doc_grouper(batches):
 
 
 _GROUPED_SCHEMA = (
-    "doc_id long, doc_len int, term string, tf long, pos_blob binary"
+    "doc_id long, doc_len int, term string, tf int, pos_blob binary"
 )
 
 # per-invocation working-set bound for the grouper (tokens per processed
@@ -403,14 +403,17 @@ _GROUPED_SCHEMA = (
 _GROUPER_MAX_TOKENS = 1_048_576
 
 
-def grouped_postings(
-    corpus: DataFrame, n_buckets: int, n_shards: int
-) -> DataFrame:
+def grouped_postings(corpus: DataFrame, n_shards: int) -> DataFrame:
     """The pre-shuffle posting relation: one row per (doc, term) with
     pre-encoded positions. Tokenization stays a JVM expression
     (byte-identity contract); the grouper UDF only sees token arrays.
-    term_id/bucket/shard hashing stays JVM-side (xxhash64) so query-side
-    lookups match; term strings are dropped before the shuffle."""
+    term_id/shard hashing stays JVM-side (xxhash64) so query-side lookups
+    match; term strings are dropped before the shuffle. NOTE: term_bucket
+    is deliberately NOT a column — it is a pure function of term_id
+    (pmod), so callers repartition on the EXPRESSION and the builder
+    recomputes it, keeping the 4-8 bytes/row out of the shuffle and the
+    JVM->Python Arrow pipe (the pipe transfer, not the sort, dominates
+    the segment stage: ~36 s of 43 s at 400k docs / local[16])."""
     toks = corpus.select(
         "doc_id",
         F.coalesce(
@@ -418,33 +421,33 @@ def grouped_postings(
         ).alias("tokens"),
     )
     rows = toks.mapInArrow(_doc_grouper, schema=_GROUPED_SCHEMA)
-    return (
-        rows.select(
-            "doc_id",
-            "doc_len",
-            "tf",
-            "pos_blob",
-            F.xxhash64("term").alias("term_id"),
-        )
-        .withColumn(
-            "term_bucket",
-            F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"),
-        )
-        .withColumn(
-            "shard",
-            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
-        )
+    return rows.select(
+        "doc_id",
+        "doc_len",
+        "tf",
+        "pos_blob",
+        F.xxhash64("term").alias("term_id"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
     )
 
 
-def _segment_builder(avgdl: float):
-    """Streaming mapInArrow fn: sorted (term_bucket, shard, term_id,
-    doc_id, doc_len, tf, pos_blob) record batches — one row per doc-run,
-    from grouped_postings() — -> one segment row per (term_id, shard)
-    group. Arrow-native and string-free: every column is an int or a
-    binary view, zero-copy to numpy. Accumulates batches into chunks,
-    holds back the possibly-incomplete trailing group, flushes vectorized,
-    and yields bounded (<= _OUT_ROWS) output batches."""
+def bucket_expr(n_buckets: int):
+    """term_bucket as an expression over term_id (for repartition/write)."""
+    return F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int")
+
+
+def _segment_builder(avgdl: float, n_buckets: int):
+    """Streaming mapInArrow fn: sorted (shard, term_id, doc_id, doc_len,
+    tf, pos_blob) record batches — one row per doc-run, from
+    grouped_postings() — -> one segment row per (term_id, shard) group.
+    term_bucket is recomputed here from term_id (pmod; numpy % matches
+    Spark pmod for a positive modulus) rather than shuffled as a column.
+    Arrow-native and string-free: every column is an int or a binary
+    view, zero-copy to numpy. Accumulates batches into chunks, holds back
+    the possibly-incomplete trailing group, flushes vectorized, and
+    yields bounded (<= _OUT_ROWS) output batches."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -467,7 +470,7 @@ def _segment_builder(avgdl: float):
             col("tf"),
             pos_data,
             pos_offs,
-            col("term_bucket"),
+            term_ids % np.int64(n_buckets),
             avgdl,
         )
         g_term_ids = term_ids[g_start_rows]
@@ -681,7 +684,7 @@ def build_index(
         # docs, and the inline-size() alternative hit a Catalyst
         # CollapseProject hazard — see
         # tests/test_plans.py::test_no_tokenizer_above_generate).
-        return grouped_postings(corpus, n_buckets, n_shards)
+        return grouped_postings(corpus, n_shards)
 
     # ---- stage: vocab (the term dictionary; distinct terms only, so the
     # map-side-combined shuffle is tiny next to the posting shuffle) ----
@@ -721,6 +724,7 @@ def build_index(
     if materialize and not man.stages.get("tokens"):
         (
             posting_rows()
+            .withColumn("term_bucket", bucket_expr(n_buckets))
             .repartition(
                 max(n_buckets, spark.sparkContext.defaultParallelism),
                 "term_bucket",
@@ -749,7 +753,7 @@ def build_index(
         if materialize:
             toks = spark.read.parquet(tokens_path).where(
                 F.col("term_bucket").isin(buckets)  # partition-pruned scan
-            )
+            ).drop("term_bucket")
         else:
             toks = posting_rows()
         from pyspark.sql import Observation
@@ -757,10 +761,14 @@ def build_index(
         obs = Observation(f"seg_metrics_{gi}")
         seg = (
             toks.repartition(
-                max(len(buckets) * n_shards, 1), "term_bucket", "shard"
+                max(len(buckets) * n_shards, 1),
+                bucket_expr(n_buckets),
+                F.col("shard"),
             )
             .sortWithinPartitions("term_id", "shard", "doc_id")
-            .mapInArrow(_segment_builder(man.avgdl), schema=seg_schema)
+            .mapInArrow(
+                _segment_builder(man.avgdl, n_buckets), schema=seg_schema
+            )
             # metrics ride the write job itself — re-reading the segments
             # just written would be a second full scan of the new index
             # data per bucket-group (expensive at scale, pure overhead

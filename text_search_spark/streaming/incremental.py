@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 from ..textnorm import spark_tokens
 from ..index import format as fmt
-from ..index.build import _auto_size, _segment_builder, grouped_postings
+from ..index.build import (
+    _auto_size,
+    _segment_builder,
+    bucket_expr,
+    grouped_postings,
+)
 
 
 def _clean_batch_files(target_dir: str, batch_id: int) -> None:
@@ -119,7 +124,7 @@ def _append_batch(
 
     # one row per (doc, term), positions pre-encoded map-side — the same
     # posting relation the batch builder shuffles (build.grouped_postings)
-    tokens = grouped_postings(batch, n_buckets, n_shards)
+    tokens = grouped_postings(batch, n_shards)
     # vocab append: this batch's distinct terms (dedup on read)
     vocab = (
         batch.select(F.explode(spark_tokens(F.col("text"))).alias("term"))
@@ -147,11 +152,13 @@ def _append_batch(
     seg = (
         tokens.repartition(
             max(n_buckets, spark.sparkContext.defaultParallelism),
-            "term_bucket",
-            "shard",
+            bucket_expr(n_buckets),
+            F.col("shard"),
         )
         .sortWithinPartitions("term_id", "shard", "doc_id")
-        .mapInArrow(_segment_builder(batch_avgdl), schema=seg_schema)
+        .mapInArrow(
+            _segment_builder(batch_avgdl, n_buckets), schema=seg_schema
+        )
     )
     _append_scoped(
         lambda p: seg.write.mode("overwrite")
