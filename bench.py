@@ -101,7 +101,11 @@ def main() -> None:
     )
     warm_dir = index_dir + "_warm"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    warm_docs = docs.limit(50).cache()
+    # warm build sized ~20% of the corpus: big enough to reach the same
+    # codegen, shuffle and Arrow-worker paths as the timed build (a
+    # 50-doc build leaves them cold and the first full build measured
+    # ~1.5x steady state), small enough to stay a warmup
+    warm_docs = docs.limit(max(50, n_docs // 5)).cache()
     warm_docs.count()
     build_index(
         spark,
