@@ -92,3 +92,41 @@ def test_huge_tf_and_long_positions(spark, tmp_path):
         assert [d for _, d, _ in got] == [d for d, _ in exp], (terms, mode)
         for (_, _, sg), (_, se) in zip(got, exp):
             assert abs(sg - se) <= 1e-6
+
+
+def test_all_blank_corpus_builds_and_queries_empty(spark, tmp_path):
+    """A corpus whose every doc tokenizes to ZERO tokens must build a
+    complete (empty) index and answer queries with zero rows — not fail
+    parquet schema inference on the empty segments/vocab/tokens_tmp dirs
+    (explicit read schemas; regression for round-2 fix)."""
+    from text_search_spark.index import format as ixfmt
+    from text_search_spark.index.query import bm25_topk_rows
+
+    pdf = spark.createDataFrame(
+        [(1, "..."), (2, ""), (3, "!!! ???")],
+        "doc_id long, text string",
+    )
+    for bg in (1, 2):
+        ix = str(tmp_path / f"ix_blank_{bg}")
+        build_index(
+            spark,
+            prepare_corpus(pdf, doc_id_col="doc_id"),
+            ix,
+            n_buckets=2,
+            n_shards=2,
+            bucket_groups=bg,
+        )
+        man = ixfmt.load_manifest(ix)
+        assert man.complete and man.n_docs == 3 and man.total_tokens == 0
+        assert (
+            bm25_topk_rows(
+                spark, ix, [QuerySpec("q", ["anything"], "or")], k=5
+            )
+            == []
+        )
+        assert (
+            bm25_topk_df(
+                spark, ix, [QuerySpec("q", ["anything"], "or")], k=5
+            ).count()
+            == 0
+        )

@@ -55,6 +55,13 @@ from . import format as fmt
 
 TOKENS_TMP = "tokens_tmp"
 
+# read-side schema of the materialized posting-rows tmp (explicit so an
+# empty corpus reads as an empty relation, not a schema-inference error)
+TOKENS_TMP_SCHEMA = (
+    "doc_id long, doc_len int, tf int, pos_blob binary, "
+    "term_id long, shard int, term_bucket int"
+)
+
 
 def hash_doc_id(col):
     """Deterministic 60-bit doc_id from a url column — pure function, no
@@ -705,7 +712,9 @@ def build_index(
         vocab.write.mode("overwrite").partitionBy("term_bucket").parquet(
             fmt.vocab_dir(index_dir)
         )
-        v = spark.read.parquet(fmt.vocab_dir(index_dir))
+        v = spark.read.schema(fmt.VOCAB_READ_SCHEMA).parquet(
+            fmt.vocab_dir(index_dir)
+        )
         n_terms, n_ids = v.select(
             F.count("*"), F.countDistinct("term_id")
         ).first()
@@ -751,7 +760,9 @@ def build_index(
         if man.stages.get(stage_name):
             continue
         if materialize:
-            toks = spark.read.parquet(tokens_path).where(
+            toks = spark.read.schema(TOKENS_TMP_SCHEMA).parquet(
+                tokens_path
+            ).where(
                 F.col("term_bucket").isin(buckets)  # partition-pruned scan
             ).drop("term_bucket")
         else:
@@ -803,10 +814,13 @@ def build_index(
 
     # ---- stage: term_stats (small agg over segment rows ⋈ vocab) ----
     if not man.stages.get("term_stats"):
-        seg = spark.read.parquet(fmt.segments_dir(index_dir))
-        vocab = spark.read.parquet(fmt.vocab_dir(index_dir)).select(
-            "term", "term_id"
+        os.makedirs(fmt.segments_dir(index_dir), exist_ok=True)
+        seg = spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(
+            fmt.segments_dir(index_dir)
         )
+        vocab = spark.read.schema(fmt.VOCAB_READ_SCHEMA).parquet(
+            fmt.vocab_dir(index_dir)
+        ).select("term", "term_id")
         (
             seg.groupBy("term_id", "term_bucket")
             .agg(

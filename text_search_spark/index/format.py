@@ -77,6 +77,20 @@ def save_manifest(index_dir: str, m: IndexManifest) -> None:
     os.replace(tmp, manifest_path(index_dir))  # atomic commit point
 
 
+# read-side schema of the segments table (data columns + the term_bucket
+# partition column). Passed explicitly wherever segments are read so an
+# EMPTY index (every doc tokenized to zero tokens -> zero segment files)
+# reads as an empty DataFrame instead of failing schema inference.
+SEG_READ_SCHEMA = (
+    "term_id long, shard int, df_part long, cf_part long, "
+    "postings binary, positions binary, blockmax binary, "
+    "bm_avgdl double, term_bucket int"
+)
+
+
+VOCAB_READ_SCHEMA = "term string, term_id long, term_bucket int"
+
+
 def segments_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "segments")
 

@@ -92,9 +92,11 @@ class IndexReader:
         # reuse one DataFrame across queries: the file listing + parquet
         # footer reads happen once per reader, not once per query
         if self._segments_df is None:
-            self._segments_df = self.spark.read.parquet(
-                fmt.segments_dir(self.index_dir)
-            )
+            # explicit schema: an empty index (zero segment files) must
+            # read as an empty relation, not fail schema inference
+            self._segments_df = self.spark.read.schema(
+                fmt.SEG_READ_SCHEMA
+            ).parquet(fmt.segments_dir(self.index_dir))
         return self._segments_df
 
     def term_stats(self) -> DataFrame:
