@@ -87,7 +87,9 @@ def merge_shards(
     assert s_new >= 1 and s_old % s_new == 0
     avgdl = man.avgdl
 
-    seg = spark.read.parquet(fmt.segments_dir(index_dir))
+    seg = spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(
+        fmt.segments_dir(index_dir)
+    )
     seg = seg.withColumn("new_shard", (F.col("shard") % s_new).cast("int"))
 
     from .build import _OUT_ROWS
@@ -157,7 +159,9 @@ def merge_shards(
     spark.read.parquet(fmt.doc_stats_dir(index_dir)).write.mode(
         "overwrite"
     ).parquet(fmt.doc_stats_dir(out_dir))
-    spark.read.parquet(fmt.vocab_dir(index_dir)).write.mode(
+    spark.read.schema(fmt.VOCAB_READ_SCHEMA).parquet(
+        fmt.vocab_dir(index_dir)
+    ).write.mode(
         "overwrite"
     ).partitionBy("term_bucket").parquet(fmt.vocab_dir(out_dir))
     spark.read.parquet(fmt.term_stats_dir(index_dir)).write.mode(

@@ -218,9 +218,12 @@ def incremental_index(
 
 
 def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
-    seg = spark.read.parquet(fmt.segments_dir(index_dir))
+    seg = spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(
+        fmt.segments_dir(index_dir)
+    )
     vocab = (
-        spark.read.parquet(fmt.vocab_dir(index_dir))
+        spark.read.schema(fmt.VOCAB_READ_SCHEMA)
+        .parquet(fmt.vocab_dir(index_dir))
         .select("term", "term_id")
         .dropDuplicates(["term_id"])
     )
