@@ -360,6 +360,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_window"] = events_window
 
+    def events_tumbling_window(spark, sf_dir):
+        # the streaming windowed-agg operator in batch form — the SAME
+        # expression runs with withWatermark on a stream (equivalence
+        # pinned by tests/test_stream_windows.py)
+        from text_search_spark.streaming.windows import windowed_event_stats
+
+        return windowed_event_stats(_t(spark, sf_dir, "events")).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+
+    q["events_tumbling_window"] = events_tumbling_window
+
     def interval_overlap(spark, sf_dir):
         e = _t(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1179,6 +1195,14 @@ SELECT event_id, CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
   PARTITION BY user_id ORDER BY ts, event_id
   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS win_sum
 FROM events
+"""
+
+    o["events_tumbling_window"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
 """
 
     o["interval_overlap"] = """

@@ -1,0 +1,154 @@
+"""Streaming windowed aggregation (watermark) + stateful dedup
+(applyInPandasWithState): micro-batch semantics pinned with file-source
+streams processed one file per trigger."""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from text_search_spark.streaming.windows import (
+    dedup_stream,
+    windowed_event_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_stream(spark, stream_df, out_table, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(out_table)
+
+
+def test_windowed_stats_stream_equals_batch(spark, tmp_path):
+    """Single-pass stream (no late data) must equal the batch windowed
+    aggregate exactly."""
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    batch = windowed_event_stats(events).orderBy("window_start").collect()
+
+    # the file stream source wants a DIRECTORY; stage the single file
+    import shutil
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = (
+        _run_stream(
+            spark,
+            windowed_event_stats(stream),
+            "win_stats",
+            str(tmp_path / "ck"),
+        )
+        .orderBy("window_start")
+        .collect()
+    )
+    # append mode only emits FINALIZED windows (window end < final
+    # watermark = max event time - 2h); those must match the batch
+    # aggregate value-for-value, and nothing else may be emitted
+    import datetime as dt
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    horizon = max_ts - dt.timedelta(hours=2)
+    finalized = [
+        tuple(r)
+        for r in batch
+        if r.window_start + dt.timedelta(hours=1) < horizon
+    ]
+    assert len(got) >= 1
+    assert set(tuple(r) for r in got) <= set(tuple(r) for r in batch)
+    assert set(finalized) <= set(tuple(r) for r in got)
+
+
+def test_windowed_stats_finalized_window_drops_late_rows(spark, tmp_path):
+    """Spark's watermark guarantee (pinned empirically): once a window is
+    finalized (emitted + state evicted because the watermark passed its
+    end), a later very-late row for that window is DROPPED — the window
+    appears exactly once, with only its pre-finalization rows. (Late rows
+    arriving BEFORE finalization may still be merged — Spark documents
+    late-data dropping as one-directional / best-effort, so the test
+    drives the watermark forward one extra batch before the late row.)"""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string, value double"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+
+    mk(
+        [(1, "2024-01-01 05:30:00", 1.0), (2, "2024-01-01 12:30:00", 2.0)]
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    time.sleep(1.1)  # file mtime order = processing order
+    # advances the watermark to 11:30 -> the 05:00 window finalizes
+    mk([(3, "2024-01-01 13:30:00", 3.0)]).coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+    time.sleep(1.1)
+    # very late row for the finalized window + a fresh row
+    mk(
+        [(4, "2024-01-01 05:45:00", 100.0), (5, "2024-01-01 14:00:00", 4.0)]
+    ).coalesce(1).write.parquet(os.path.join(src, "b3"))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "*"))
+    )
+    got = _run_stream(
+        spark,
+        windowed_event_stats(stream, window="1 hour", watermark="2 hours"),
+        "late_stats",
+        str(tmp_path / "ck2"),
+    ).collect()
+    early = [r for r in got if str(r.window_start) == "2024-01-01 05:00:00"]
+    # exactly one emission, containing only the pre-finalization row —
+    # the 100.0 late row neither merged nor re-emitted the window
+    assert [(r.n_events, r.sum_value) for r in early] == [(1, 1.0)]
+
+
+def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(1, "u1", "a"), (2, "u2", "b"), (2, "u2", "b")],
+        "doc_id long, url string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "u2", "b"), (3, "u3", "c"), (1, "u1", "a"), (4, "u4", "d")],
+        "doc_id long, url string, text string",
+    )
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    got = _run_stream(
+        spark, dedup_stream(stream), "deduped", str(tmp_path / "ck3")
+    )
+    ids = sorted(r.doc_id for r in got.collect())
+    assert ids == [1, 2, 3, 4]  # each id exactly once across batches

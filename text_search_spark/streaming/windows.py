@@ -1,0 +1,117 @@
+"""Structured-Streaming operators beyond the incremental index: a
+watermarked windowed aggregation (late-data tolerance) and a custom
+stateful operator (applyInPandasWithState cross-batch dedup).
+
+The reference pipeline is batch (SURVEY.md §2.8) — these are the
+streaming shapes a production ingest of the same data would need:
+new pages/events arrive continuously, aggregates must tolerate
+late/out-of-order event times, and re-deliveries must be dropped
+exactly once across micro-batches.
+
+Scale notes:
+  * The windowed agg is a plain `groupBy(window(...))` — Spark keeps
+    per-window partial state in its state store, sized by (windows
+    within watermark x grouping keys), NOT by row volume; the watermark
+    bounds state eviction.
+  * The stateful dedup groups by a BUCKET of the id space (pmod), not by
+    the id itself: state rows = n_buckets, each holding that bucket's
+    seen-id set — at 10^12 ids the per-bucket set is the thing to size
+    (n_buckets is a parameter), and lookups inside a bucket are a numpy
+    isin, not per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate over an event stream (or a
+    batch frame — the expression is identical, which is how the entry's
+    DuckDB oracle checks it): (window_start, n_events, sum_value).
+
+    On a STREAMING input, rows later than `watermark` behind the max
+    observed event time are dropped and their windows finalized —
+    windows emit exactly once in append mode."""
+    # event-time must be TIMESTAMP (LTZ) for watermarking; parquet written
+    # from pandas is TIMESTAMP_NTZ — cast is a no-op re-interpretation
+    # under the engine's fixed UTC session timezone
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_DEDUP_STATE_SCHEMA = "seen array<long>"
+_DEDUP_OUT_SCHEMA = "doc_id long, url string, text string"
+
+
+def _dedup_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    seen = (
+        np.asarray(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.empty(0, dtype=np.int64)
+    )
+    out = []
+    for pdf in pdfs:
+        ids = pdf["doc_id"].to_numpy()
+        fresh = pdf[~np.isin(ids, seen)]
+        # also drop duplicates WITHIN the batch (first occurrence wins)
+        fresh = fresh.drop_duplicates(subset=["doc_id"], keep="first")
+        if len(fresh):
+            out.append(fresh)
+            seen = np.union1d(seen, fresh["doc_id"].to_numpy())
+    state.update((seen.tolist(),))
+    for pdf in out:
+        yield pdf[["doc_id", "url", "text"]]
+
+
+def dedup_stream(
+    docs: DataFrame,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Cross-batch exactly-once doc_id dedup for a streaming source:
+    re-delivered or repeated doc_ids are dropped in every later
+    micro-batch (applyInPandasWithState; state = per-bucket sorted id
+    array). Input/output: (doc_id long, url string, text string)."""
+    return (
+        docs.withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=_DEDUP_OUT_SCHEMA,
+            stateStructType=_DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
