@@ -152,3 +152,45 @@ def test_lsh_dup_pairs_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     out.collect()  # and it runs
+
+
+def test_build_segment_plan_shape(spark):
+    """The segment pipeline must have exactly ONE exchange (the
+    (term_bucket, shard) repartition) and NO join — doc_len comes from
+    the map-side grouper, not a doc_stats broadcast (which could not
+    broadcast at 10^12 docs), and term_bucket is a repartition
+    EXPRESSION, never a shuffled column."""
+    from text_search_spark.index.build import (
+        _segment_builder,
+        bucket_expr,
+        grouped_postings,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma", str(i)) for i in range(30)],
+        "doc_id long, text string, url string",
+    )
+    corpus = prepare_corpus(pdf, doc_id_col="doc_id")
+    seg_schema = (
+        "term_bucket int, term_id long, shard int, df_part long, "
+        "cf_part long, postings binary, positions binary, "
+        "blockmax binary, bm_avgdl double"
+    )
+    seg = (
+        grouped_postings(corpus, 2)
+        .repartition(4, bucket_expr(4), F.col("shard"))
+        .sortWithinPartitions("term_id", "shard", "doc_id")
+        .mapInArrow(_segment_builder(3.0, 4), schema=seg_schema)
+    )
+    plan = formatted_plan(seg)
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    # the shuffled row must not carry a term_bucket column: the Exchange
+    # node's Input list has the 6 data columns only, and its hash keys
+    # are the pmod EXPRESSION over term_id
+    exch = plan.split("Exchange", 2)[2]  # detail section "(5) Exchange"
+    input_line = [
+        ln for ln in exch.splitlines() if ln.startswith("Input")
+    ][0]
+    assert "term_bucket" not in input_line, input_line
+    assert "pmod(term_id" in exch, exch
