@@ -56,10 +56,13 @@ from . import format as fmt
 TOKENS_TMP = "tokens_tmp"
 
 # read-side schema of the materialized posting-rows tmp (explicit so an
-# empty corpus reads as an empty relation, not a schema-inference error)
+# empty corpus reads as an empty relation, not a schema-inference error).
+# The tmp stores the term STRING so the vocab stage derives the
+# dictionary from it (no extra corpus scan); term_id replaces it in the
+# projection right before the posting shuffle.
 TOKENS_TMP_SCHEMA = (
     "doc_id long, doc_len int, tf int, pos_blob binary, "
-    "term_id long, shard int, term_bucket int"
+    "term string, shard int, term_bucket int"
 )
 
 
@@ -410,17 +413,15 @@ _GROUPED_SCHEMA = (
 _GROUPER_MAX_TOKENS = 1_048_576
 
 
-def grouped_postings(corpus: DataFrame, n_shards: int) -> DataFrame:
-    """The pre-shuffle posting relation: one row per (doc, term) with
-    pre-encoded positions. Tokenization stays a JVM expression
-    (byte-identity contract); the grouper UDF only sees token arrays.
-    term_id/shard hashing stays JVM-side (xxhash64) so query-side lookups
-    match; term strings are dropped before the shuffle. NOTE: term_bucket
-    is deliberately NOT a column — it is a pure function of term_id
-    (pmod), so callers repartition on the EXPRESSION and the builder
-    recomputes it, keeping the 4-8 bytes/row out of the shuffle and the
-    JVM->Python Arrow pipe (the pipe transfer, not the sort, dominates
-    the segment stage: ~36 s of 43 s at 400k docs / local[16])."""
+def grouped_terms(corpus: DataFrame, n_shards: int) -> DataFrame:
+    """One row per (doc, term) with pre-encoded positions, term still a
+    STRING: (doc_id, doc_len, tf, pos_blob, term, shard). Tokenization
+    stays a JVM expression (byte-identity contract); the grouper UDF only
+    sees token arrays. This is the relation the materialized tokens_tmp
+    stores — keeping the string there lets the vocab stage derive the
+    dictionary from the tmp instead of a third full corpus tokenize scan
+    (a term string averages the same bytes as the int64 id it replaces).
+    """
     toks = corpus.select(
         "doc_id",
         F.coalesce(
@@ -433,11 +434,36 @@ def grouped_postings(corpus: DataFrame, n_shards: int) -> DataFrame:
         "doc_len",
         "tf",
         "pos_blob",
-        F.xxhash64("term").alias("term_id"),
+        "term",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
     )
+
+
+def drop_terms(rows: DataFrame) -> DataFrame:
+    """Swap the term string for term_id = xxhash64(term) right before the
+    posting shuffle — the exchange carries int64 keys, never strings
+    (term<->id uniqueness is asserted by the vocab stage). NOTE:
+    term_bucket is deliberately NOT a column — it is a pure function of
+    term_id (pmod), so callers repartition on the EXPRESSION and the
+    builder recomputes it, keeping the bytes out of the shuffle and the
+    JVM->Python Arrow pipe (the pipe transfer, not the sort, dominates
+    the segment stage: ~36 s of 43 s at 400k docs / local[16])."""
+    return rows.select(
+        "doc_id",
+        "doc_len",
+        "tf",
+        "pos_blob",
+        F.xxhash64("term").alias("term_id"),
+        "shard",
+    )
+
+
+def grouped_postings(corpus: DataFrame, n_shards: int) -> DataFrame:
+    """The pre-shuffle posting relation: one row per (doc, term), int64
+    term_id, no strings (grouped_terms -> drop_terms)."""
+    return drop_terms(grouped_terms(corpus, n_shards))
 
 
 def bucket_expr(n_buckets: int):
@@ -693,21 +719,54 @@ def build_index(
         # tests/test_plans.py::test_no_tokenizer_above_generate).
         return grouped_postings(corpus, n_shards)
 
+    # ---- stage: tokens_tmp (posting rows materialized ONLY when the
+    # segment stage is split into multiple resumable units — a single-unit
+    # build fuses group -> shuffle -> sort -> build into one job instead
+    # of paying a full write+read of the posting relation). The tmp keeps
+    # the term STRING (same bytes as the id it would replace) so the
+    # vocab stage below derives the dictionary from it — at scale this
+    # drops a full corpus tokenize scan (3 scans -> 2). ----
+    materialize = bucket_groups > 1
+    if materialize and not man.stages.get("tokens"):
+        (
+            grouped_terms(corpus, n_shards)
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            )
+            .repartition(
+                max(n_buckets, spark.sparkContext.defaultParallelism),
+                "term_bucket",
+                "shard",
+            )
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(tokens_path)
+        )
+        checkpoint("tokens")
+
     # ---- stage: vocab (the term dictionary; distinct terms only, so the
-    # map-side-combined shuffle is tiny next to the posting shuffle) ----
+    # map-side-combined shuffle is tiny next to the posting shuffle;
+    # sourced from tokens_tmp when it exists — doc-term rows, already
+    # tokenized — else from a corpus scan) ----
     if not man.stages.get("vocab"):
-        vocab = (
-            corpus.select(
+        if materialize:
+            terms_src = (
+                spark.read.schema(TOKENS_TMP_SCHEMA)
+                .parquet(tokens_path)
+                .select("term")
+                .distinct()
+            )
+        else:
+            terms_src = corpus.select(
                 F.explode(spark_tokens(F.col("text"))).alias("term")
-            )
-            .distinct()
-            .select(
-                "term",
-                F.xxhash64("term").alias("term_id"),
-                F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-                .cast("int")
-                .alias("term_bucket"),
-            )
+            ).distinct()
+        vocab = terms_src.select(
+            "term",
+            F.xxhash64("term").alias("term_id"),
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+            .cast("int")
+            .alias("term_bucket"),
         )
         vocab.write.mode("overwrite").partitionBy("term_bucket").parquet(
             fmt.vocab_dir(index_dir)
@@ -725,26 +784,6 @@ def build_index(
             )
         checkpoint("vocab")
 
-    # ---- stage: tokens_tmp (posting rows materialized ONLY when the
-    # segment stage is split into multiple resumable units — a single-unit
-    # build fuses group -> shuffle -> sort -> build into one job instead
-    # of paying a full write+read of the posting relation) ----
-    materialize = bucket_groups > 1
-    if materialize and not man.stages.get("tokens"):
-        (
-            posting_rows()
-            .withColumn("term_bucket", bucket_expr(n_buckets))
-            .repartition(
-                max(n_buckets, spark.sparkContext.defaultParallelism),
-                "term_bucket",
-                "shard",
-            )
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(tokens_path)
-        )
-        checkpoint("tokens")
-
     # ---- stage: segments, in resumable bucket-group units ----
     groups: List[List[int]] = [
         list(range(g, n_buckets, bucket_groups)) for g in range(bucket_groups)
@@ -760,11 +799,13 @@ def build_index(
         if man.stages.get(stage_name):
             continue
         if materialize:
-            toks = spark.read.schema(TOKENS_TMP_SCHEMA).parquet(
-                tokens_path
-            ).where(
-                F.col("term_bucket").isin(buckets)  # partition-pruned scan
-            ).drop("term_bucket")
+            toks = drop_terms(
+                spark.read.schema(TOKENS_TMP_SCHEMA)
+                .parquet(tokens_path)
+                .where(
+                    F.col("term_bucket").isin(buckets)  # partition-pruned
+                )
+            )
         else:
             toks = posting_rows()
         from pyspark.sql import Observation
