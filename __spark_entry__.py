@@ -618,6 +618,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["align_spans_demo"] = align_spans_demo
 
+    def align_long_query(spark, sf_dir):
+        # J5 long-query composite: a >20k-symbol query takes the reference's
+        # segmented flow (break_query -> per-segment GLOBAL Levenshtein ->
+        # combine, match.py:482-514); the oracle pins the UNSEGMENTED infix
+        # DP's result on the same deterministic pair — an independent
+        # derivation the segmented path must reproduce exactly
+        from text_search_spark.operators.align import (
+            align_spans,
+            synthetic_long_pair,
+        )
+
+        qt, dt = synthetic_long_pair()
+        pairs = spark.createDataFrame(
+            [("lq", qt, 0, dt)],
+            "query_id string, query_text string, doc_id long, doc_text string",
+        )
+        return align_spans(pairs).select(
+            "query_id",
+            "n_matched",
+            "q_start",
+            "q_end",
+            "t_start",
+            "t_end",
+            "distance",
+            F.md5(F.col("align")).alias("align_fp"),
+        )
+
+    q["align_long_query"] = align_long_query
+
     def multimodal_features(spark, sf_dir):
         # feature vectors surface as scalar fingerprints (array columns are
         # unhashable for the driver's sort/factorize canonicalization);
@@ -1293,6 +1322,18 @@ GROUP BY l_returnflag, l_linestatus
 SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id, doc_id, 2 AS distance
 FROM documents WHERE doc_id < 5
 """
+
+    # ---- align_long_query: literal oracle = the UNSEGMENTED infix DP's
+    # result on synthetic_long_pair() (LONG_PAIR_GOLDEN, re-derived live in
+    # tests/test_align.py) — the Spark side runs the SEGMENTED flow ----
+    from text_search_spark.operators.align import LONG_PAIR_GOLDEN
+
+    _lg = LONG_PAIR_GOLDEN
+    o["align_long_query"] = (
+        f"SELECT 'lq' AS query_id, {_lg[0]} AS n_matched, {_lg[1]} AS "
+        f"q_start, {_lg[2]} AS q_end, {_lg[3]} AS t_start, {_lg[4]} AS "
+        f"t_end, {_lg[5]} AS distance, '{_lg[6]}' AS align_fp"
+    )
 
     # ---- multimodal_features: literal oracle from the same deterministic
     # generator + decode stub, computed in pure Python (no Spark) ----

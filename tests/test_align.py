@@ -75,3 +75,62 @@ def test_snippets(spark, tmp_path):
     ).collect()
     assert len(out2) == 3
     assert all("THE" in r.snippet for r in out2)
+
+
+def test_align_pair_long_query_segmented_path(monkeypatch):
+    """>20k-symbol query: the segmented flow (break_query -> per-segment
+    global DP -> combine) must (a) actually run and (b) reproduce the
+    unsegmented infix DP's result on the overlap."""
+    import text_search_spark.operators.segment as seg_mod
+    from text_search_spark.operators.align import (
+        LONG_PAIR_GOLDEN,
+        synthetic_long_pair,
+    )
+
+    q, doc = synthetic_long_pair()
+    assert len(q) > 20000
+
+    calls = []
+    orig = seg_mod.break_query
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(seg_mod, "break_query", spy)
+    r_seg = _align_pair(q, doc)
+    assert calls, "long query did not take the segmented path"
+
+    r_un = _align_pair(q, doc, segment_length=10**9)
+    assert not len(calls) > 1  # unsegmented path didn't re-enter break_query
+
+    # identical distance, identical covered span, identical alignment
+    assert r_seg[5] == r_un[5]
+    assert (r_seg[3], r_seg[4]) == (r_un[3], r_un[4])
+    assert r_seg[6] == r_un[6]
+    # alignment covers the full query: I+C+S ops count == len(query)
+    consumed = sum(r_seg[6].count(c) for c in "ICS")
+    assert consumed == len(q)
+    # and the UNSEGMENTED result matches the pinned golden the driver's
+    # align_long_query oracle uses (guards generator/golden drift)
+    import hashlib
+
+    got = r_un[:6] + (hashlib.md5(r_un[6].encode()).hexdigest(),)
+    assert got == LONG_PAIR_GOLDEN
+
+
+def test_align_pair_short_query_unsegmented(monkeypatch):
+    """Short queries must NOT pay the segmentation machinery."""
+    import text_search_spark.operators.segment as seg_mod
+
+    calls = []
+    orig = seg_mod.break_query
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(seg_mod, "break_query", spy)
+    r = _align_pair("hello world", "xxx hello world yyy")
+    assert r is not None and r[5] == 0
+    assert not calls

@@ -158,3 +158,62 @@ def test_get_nice_alignments():
     assert "*" in mid  # the substitution marked
     assert top.split() == ["1", "2", "3", "4"]
     assert bot.split() == ["1", "5", "3", "4"]
+
+
+def test_levenshtein_vectorized_perf():
+    """The DP runs row-wise in NumPy (min-prefix trick for the left
+    dependency). The pre-vectorization per-cell Python loop took ~30 s on
+    this 5000x6250 pair (~31M interpreted iterations); the vectorized kernel
+    must finish the same pair in seconds — a bound the old loop cannot meet
+    on any hardware this suite runs on (>=50x observed: 0.54 s locally)."""
+    import random
+    import time
+
+    rng = random.Random(0)
+    q = [rng.randrange(50) for _ in range(5000)]
+    t = [rng.randrange(50) for _ in range(6250)]
+    t0 = time.time()
+    dist, aligns = levenshtein_distance(q, t, mode="infix")
+    elapsed = time.time() - t0
+    assert elapsed < 5.0, f"vectorized DP too slow: {elapsed:.2f}s"
+    assert dist > 0 and aligns
+
+
+def test_levenshtein_vectorized_matches_scalar_reference():
+    """Property check: the vectorized DP equals a straightforward per-cell
+    reference implementation on random small inputs, all modes/costs."""
+    import random
+
+    def scalar_dp(q, t, mode, ic, dc, rc):
+        m, n = len(q), len(t)
+        dp = [[0] * (n + 1) for _ in range(m + 1)]
+        for j in range(n + 1):
+            dp[0][j] = 0 if mode == "infix" else j * dc
+        for i in range(1, m + 1):
+            dp[i][0] = i * ic
+            for j in range(1, n + 1):
+                c = 0 if t[j - 1] == q[i - 1] else rc
+                dp[i][j] = min(
+                    dp[i - 1][j - 1] + c, dp[i - 1][j] + ic, dp[i][j - 1] + dc
+                )
+        if mode == "global":
+            return dp[m][n]
+        return min(dp[m])
+
+    rng = random.Random(7)
+    for trial in range(40):
+        m = rng.randrange(0, 12)
+        n = rng.randrange(0, 15)
+        q = [rng.randrange(4) for _ in range(m)]
+        t = [rng.randrange(4) for _ in range(n)]
+        mode = rng.choice(["global", "infix"])
+        ic, dc, rc = (
+            rng.randrange(1, 4),
+            rng.randrange(1, 4),
+            rng.randrange(1, 4),
+        )
+        want = scalar_dp(q, t, mode, ic, dc, rc)
+        got, _ = levenshtein_distance(
+            q, t, mode=mode, insert_cost=ic, delete_cost=dc, replace_cost=rc
+        )
+        assert got == want, (trial, q, t, mode, ic, dc, rc, got, want)

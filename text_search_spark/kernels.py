@@ -156,27 +156,33 @@ def levenshtein_distance(
     q = list(query)
     t = list(target)
     m, n = len(q), len(t)
-    INF = 1 << 30
-    # dp[i][j]: cost aligning q[:i] against t[..j] (suffix-free start in infix)
-    dp = np.zeros((m + 1, n + 1), dtype=np.int64)
+    # Vectorized row-wise DP (the reference's equivalent is GIL-released C++,
+    # levenshtein.h:264-378; here the per-row recurrence runs as whole-row
+    # NumPy ops). dp[i][j]: cost aligning q[:i] against t[..j] (suffix-free
+    # start in infix mode). The left-to-right dependency
+    #   row[j] = min(cand[j], row[j-1] + delete_cost)
+    # resolves exactly via the min-prefix identity: with
+    #   g[j] = row[j] - j*delete_cost,
+    # g is the running minimum of [row[0], cand[j] - j*delete_cost].
+    dp = np.zeros((m + 1, n + 1), dtype=np.int32)
     dp[0, :] = 0 if mode == "infix" else np.arange(n + 1) * delete_cost
     dp[1:, 0] = np.arange(1, m + 1) * insert_cost
+    t_arr = np.asarray(t) if n else np.empty(0)
+    j_del = np.arange(1, n + 1, dtype=np.int32) * delete_cost
     for i in range(1, m + 1):
-        row = dp[i]
         prev_row = dp[i - 1]
-        for j in range(1, n + 1):
-            c = 0 if t[j - 1] == q[i - 1] else replace_cost
-            row[j] = min(
-                prev_row[j - 1] + c,          # diag (match/sub)
-                prev_row[j] + insert_cost,    # up (insert query symbol)
-                row[j - 1] + delete_cost,     # left (delete target symbol)
-            )
+        cost = np.where(t_arr == q[i - 1], 0, replace_cost) if n else j_del
+        cand = np.minimum(prev_row[:-1] + cost, prev_row[1:] + insert_cost)
+        g = np.minimum.accumulate(
+            np.concatenate(([dp[i, 0]], cand - j_del))
+        )
+        dp[i, 1:] = g[1:] + j_del
     if mode == "global":
         ends = [n]
         distance = int(dp[m, n])
     else:
         distance = int(dp[m].min())
-        ends = [j for j in range(n + 1) if dp[m, j] == distance]
+        ends = np.nonzero(dp[m] == distance)[0].tolist()
         # an end at j=0 means empty target segment; the reference only
         # reports segments that consume target symbols unless target empty
         if n > 0:
