@@ -1,7 +1,8 @@
 """Unit contract of the map-side (doc, term) grouper (build._doc_grouper):
-one output row per distinct (doc, term); tf and doc_len exact; pos_blob is
-varbyte(absolute first position, then deltas) — the positions-sidecar
-per-run byte layout, checked against a naive per-token reference."""
+one output row per distinct (doc, term); blob = varbyte(doc_len) +
+varbyte(tf) + varbyte(absolute first position, then deltas) — a 2-value
+header followed by the positions-sidecar per-run byte layout, checked
+against a naive per-token reference."""
 
 import numpy as np
 import pyarrow as pa
@@ -30,8 +31,6 @@ def _run(doc_ids, token_lists):
                     b.column(0)[i].as_py(),
                     b.column(1)[i].as_py(),
                     b.column(2)[i].as_py(),
-                    b.column(3)[i].as_py(),
-                    b.column(4)[i].as_py(),
                 )
             )
     return rows
@@ -44,10 +43,11 @@ def _naive(doc_ids, token_lists):
             rows.setdefault((d, t), []).append(p)
     out = []
     for (d, t), ps in rows.items():
+        dl = len(token_lists[doc_ids.index(d)])
         gaps = [ps[0]] + [b - a for a, b in zip(ps, ps[1:])]
         out.append(
-            (d, len(token_lists[doc_ids.index(d)]), t, len(ps),
-             varbyte_encode(np.array(gaps, dtype=np.uint64)))
+            (d, t,
+             varbyte_encode(np.array([dl, len(ps)] + gaps, dtype=np.uint64)))
         )
     return out
 
@@ -66,11 +66,17 @@ def test_grouper_matches_naive():
 
 def test_grouper_positions_decode():
     rows = _run([7], [["x", "y", "x", "x", "z", "y"]])
-    by_term = {r[2]: r for r in rows}
-    assert by_term["x"][3] == 3
-    ps = np.cumsum(varbyte_decode(by_term["x"][4]))
-    assert list(ps) == [0, 2, 3]
-    assert list(np.cumsum(varbyte_decode(by_term["y"][4]))) == [1, 5]
+    by_term = {r[1]: r for r in rows}
+
+    def parse(blob):
+        vals = varbyte_decode(blob)
+        dl, tf = int(vals[0]), int(vals[1])
+        return dl, tf, list(np.cumsum(vals[2:]))
+
+    dl, tf, ps = parse(by_term["x"][2])
+    assert (dl, tf) == (6, 3)
+    assert ps == [0, 2, 3]
+    assert parse(by_term["y"][2]) == (6, 2, [1, 5])
 
 
 def test_grouper_empty_and_null_batches():
@@ -103,7 +109,7 @@ def test_grouper_bounded_slicing_equivalence(monkeypatch):
         rows = []
         for b in B._doc_grouper(iter([batch])):
             for i in range(b.num_rows):
-                rows.append(tuple(b.column(c)[i].as_py() for c in range(5)))
+                rows.append(tuple(b.column(c)[i].as_py() for c in range(3)))
         return sorted(rows)
 
     full, tiny, degenerate = collect(10**9), collect(100), collect(1)

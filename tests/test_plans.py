@@ -164,6 +164,7 @@ def test_build_segment_plan_shape(spark):
         _segment_builder,
         bucket_expr,
         grouped_postings,
+        shard_expr,
     )
 
     pdf = spark.createDataFrame(
@@ -177,20 +178,91 @@ def test_build_segment_plan_shape(spark):
         "blockmax binary, bm_avgdl double"
     )
     seg = (
-        grouped_postings(corpus, 2)
-        .repartition(4, bucket_expr(4), F.col("shard"))
-        .sortWithinPartitions("term_id", "shard", "doc_id")
-        .mapInArrow(_segment_builder(3.0, 4), schema=seg_schema)
+        grouped_postings(corpus)
+        .repartition(4, bucket_expr(4), shard_expr(2))
+        .sortWithinPartitions("term_id", shard_expr(2), "doc_id")
+        .mapInArrow(_segment_builder(3.0, 4, 2), schema=seg_schema)
     )
     plan = formatted_plan(seg)
     assert plan.count("+- Exchange") == 1, plan
     assert "Join" not in plan, plan
-    # the shuffled row must not carry a term_bucket column: the Exchange
-    # node's Input list has the 6 data columns only, and its hash keys
-    # are the pmod EXPRESSION over term_id
+    # the shuffled row must carry NEITHER term_bucket NOR shard columns:
+    # the Exchange node's Input list has the 3 data columns only
+    # (doc_id, blob, term_id), and its hash keys are the pmod EXPRESSIONS
+    # over term_id (bucket) and xxhash64(doc_id) (shard)
     exch = plan.split("Exchange", 2)[2]  # detail section "(5) Exchange"
     input_line = [
         ln for ln in exch.splitlines() if ln.startswith("Input")
     ][0]
     assert "term_bucket" not in input_line, input_line
+    assert "shard" not in input_line, input_line
+    assert "doc_len" not in input_line and "tf" not in input_line, input_line
     assert "pmod(term_id" in exch, exch
+    assert "xxhash64(doc_id" in exch, exch
+
+
+def test_fused_build_single_grouper_scan(spark, tmp_path, monkeypatch):
+    """bucket_groups=1 under the size gate: ONE grouper scan feeds both
+    the vocab and segment stages (persisted posting relation), and the
+    explode-based vocab fallback is not used. 2 corpus scans -> 1."""
+    import text_search_spark.index.build as B
+
+    calls = {"grouped_terms": 0, "explode_vocab": 0}
+    orig_gt = B.grouped_terms
+
+    def spy_gt(corpus):
+        calls["grouped_terms"] += 1
+        return orig_gt(corpus)
+
+    monkeypatch.setattr(B, "grouped_terms", spy_gt)
+    orig_explode = F.explode
+
+    pdf = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta", str(i)) for i in range(40)],
+        "doc_id long, text string, url string",
+    )
+    corpus = prepare_corpus(pdf, doc_id_col="doc_id")
+    ix = str(tmp_path / "fused_ix")
+    B.build_index(
+        spark, corpus, ix, n_buckets=4, n_shards=2, bucket_groups=1
+    )
+    assert calls["grouped_terms"] == 1
+    # the index is complete and queryable
+    from text_search_spark.index import format as ixfmt
+
+    man = ixfmt.load_manifest(ix)
+    assert man.complete
+    vocab = spark.read.schema(ixfmt.VOCAB_READ_SCHEMA).parquet(
+        ixfmt.vocab_dir(ix)
+    )
+    terms = {r.term for r in vocab.collect()}
+    assert {"ALPHA", "BETA", "GAMMA", "DELTA"} <= terms
+
+
+def test_fused_build_gate_falls_back(spark, tmp_path, monkeypatch):
+    """Above the size gate the fused path must NOT persist (explode vocab
+    + separate segment scan — the pre-existing behavior)."""
+    import text_search_spark.index.build as B
+
+    monkeypatch.setattr(B, "_FUSED_PERSIST_MAX_BYTES", 0)
+    calls = {"grouped_terms": 0}
+    orig_gt = B.grouped_terms
+
+    def spy_gt(corpus):
+        calls["grouped_terms"] += 1
+        return orig_gt(corpus)
+
+    monkeypatch.setattr(B, "grouped_terms", spy_gt)
+    pdf = spark.createDataFrame(
+        [(i, f"alpha beta w{i}", str(i)) for i in range(10)],
+        "doc_id long, text string, url string",
+    )
+    corpus = prepare_corpus(pdf, doc_id_col="doc_id")
+    ix = str(tmp_path / "gated_ix")
+    B.build_index(
+        spark, corpus, ix, n_buckets=4, n_shards=2, bucket_groups=1
+    )
+    assert calls["grouped_terms"] == 1  # only the segment stage's scan
+    from text_search_spark.index import format as ixfmt
+
+    assert ixfmt.load_manifest(ix).complete

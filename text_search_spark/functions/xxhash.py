@@ -100,3 +100,33 @@ def pmod(x: int, m: int) -> int:
     """Spark pmod semantics (non-negative result)."""
     r = x % m
     return r + m if r < 0 else r
+
+
+def xxhash64_long_vec(v, seed: int = 42):
+    """Vectorized XXH64 of an int64 numpy array (8-byte little-endian input
+    path of the spec), bit-identical to Spark's `xxhash64(long_col)` —
+    pinned against both the scalar xxhash64_long and Spark itself in
+    tests/test_xxhash.py. Lets Arrow UDFs recompute a doc-sharding key
+    from doc_id instead of shipping it as a column through the shuffle
+    and the JVM->Python pipe. Returns signed int64."""
+    import numpy as np
+
+    x = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
+    p1 = np.uint64(_P1)
+    p2 = np.uint64(_P2)
+    p3 = np.uint64(_P3)
+    p4 = np.uint64(_P4)
+
+    def rotl(a, r):
+        return (a << np.uint64(r)) | (a >> np.uint64(64 - r))
+
+    with np.errstate(over="ignore"):
+        k1 = rotl(x * p2, 31) * p1
+        h = np.uint64((seed + _P5 + 8) & _MASK) ^ k1
+        h = rotl(h, 27) * p1 + p4
+        h ^= h >> np.uint64(33)
+        h *= p2
+        h ^= h >> np.uint64(29)
+        h *= p3
+        h ^= h >> np.uint64(32)
+    return h.view(np.int64)

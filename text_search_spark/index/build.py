@@ -61,8 +61,7 @@ TOKENS_TMP = "tokens_tmp"
 # dictionary from it (no extra corpus scan); term_id replaces it in the
 # projection right before the posting shuffle.
 TOKENS_TMP_SCHEMA = (
-    "doc_id long, doc_len int, tf int, pos_blob binary, "
-    "term string, shard int, term_bucket int"
+    "doc_id long, blob binary, term string, term_bucket int"
 )
 
 
@@ -314,11 +313,17 @@ def _flat_binary(arr):
 def _doc_grouper(batches):
     """Map-side (doc, term) pre-aggregation (mapInArrow, runs BEFORE the
     shuffle): (doc_id long, tokens array<string>) batches -> one row per
-    DISTINCT (doc, term): (doc_id, doc_len, term, tf, pos_blob).
+    DISTINCT (doc, term): (doc_id, term, blob).
 
-    pos_blob is varbyte(absolute first position, then deltas) — the exact
-    per-run byte layout of the index's positions sidecar, so the
-    post-shuffle segment builder concatenates blobs instead of re-encoding.
+    blob = varbyte(doc_len) + varbyte(tf) + varbyte(absolute first
+    position, then deltas): the scalar doc_len/tf columns ride INSIDE the
+    blob as a 2-value varbyte header (~2-4 bytes vs 8 bytes of int32s) and
+    the positions payload after the header is the exact per-run byte
+    layout of the index's positions sidecar — the post-shuffle segment
+    builder strips headers and concatenates payloads instead of
+    re-encoding. The row narrowing matters because the JVM<->Python Arrow
+    pipe, not compute, dominates the segment stage (BENCH.md war story 6;
+    a measured 8.3s -> 5.8s passthrough transfer for the same rows).
     Cuts shuffle rows by the average within-doc term frequency and removes
     the per-token row explosion entirely; replaces the former
     posexplode + broadcast-join(doc_len) plan, which could not broadcast
@@ -381,31 +386,37 @@ def _doc_grouper(batches):
         pgaps = spos.copy()
         pgaps[1:] = spos[1:] - spos[:-1]
         pgaps[rstarts] = spos[rstarts]
-        buf, sizes = varbyte_encode_with_sizes(pgaps.astype(np.uint64))
-        b_off = np.concatenate([[0], np.cumsum(sizes)])
-        blob_offs = np.append(b_off[rstarts], b_off[-1]).astype(np.int32)
-        pos_blob = pa.Array.from_buffers(
-            pa.binary(),
-            rstarts.size,
-            [None, pa.py_buffer(blob_offs.tobytes()), pa.py_buffer(buf)],
-        )
         run_d = d_idx[order][rstarts]
         run_code = codes[order][rstarts]
+        # interleave the [doc_len, tf] header values in front of each
+        # run's position gaps, then ONE varbyte pass over everything:
+        # token i of run r lands at i + 2r + 2, headers at rstarts[r]+2r
+        R = rstarts.size
+        r_of_tok = np.repeat(np.arange(R), tf)
+        vals = np.empty(n_tok + 2 * R, dtype=np.uint64)
+        hdr_idx = rstarts + 2 * np.arange(R)
+        vals[hdr_idx] = lens[run_d].astype(np.uint64)
+        vals[hdr_idx + 1] = tf.astype(np.uint64)
+        vals[np.arange(n_tok) + 2 * r_of_tok + 2] = pgaps.astype(np.uint64)
+        buf, sizes = varbyte_encode_with_sizes(vals)
+        b_off = np.concatenate([[0], np.cumsum(sizes)])
+        blob_offs = np.append(b_off[hdr_idx], b_off[-1]).astype(np.int32)
+        blob = pa.Array.from_buffers(
+            pa.binary(),
+            R,
+            [None, pa.py_buffer(blob_offs.tobytes()), pa.py_buffer(buf)],
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(doc_ids[run_d], pa.int64()),
-                pa.array(lens[run_d].astype(np.int32), pa.int32()),
                 pc.take(dict_vals, pa.array(run_code)),
-                pa.array(tf.astype(np.int32), pa.int32()),
-                pos_blob,
+                blob,
             ],
-            names=["doc_id", "doc_len", "term", "tf", "pos_blob"],
+            names=["doc_id", "term", "blob"],
         )
 
 
-_GROUPED_SCHEMA = (
-    "doc_id long, doc_len int, term string, tf int, pos_blob binary"
-)
+_GROUPED_SCHEMA = "doc_id long, term string, blob binary"
 
 # per-invocation working-set bound for the grouper (tokens per processed
 # sub-batch); ~1M tokens keeps the argsort + varbyte buffers in the tens
@@ -413,57 +424,45 @@ _GROUPED_SCHEMA = (
 _GROUPER_MAX_TOKENS = 1_048_576
 
 
-def grouped_terms(corpus: DataFrame, n_shards: int) -> DataFrame:
-    """One row per (doc, term) with pre-encoded positions, term still a
-    STRING: (doc_id, doc_len, tf, pos_blob, term, shard). Tokenization
-    stays a JVM expression (byte-identity contract); the grouper UDF only
-    sees token arrays. This is the relation the materialized tokens_tmp
-    stores — keeping the string there lets the vocab stage derive the
-    dictionary from the tmp instead of a third full corpus tokenize scan
-    (a term string averages the same bytes as the int64 id it replaces).
-    """
+def grouped_terms(corpus: DataFrame) -> DataFrame:
+    """One row per (doc, term) with the doc_len/tf/positions blob, term
+    still a STRING: (doc_id, term, blob). Tokenization stays a JVM
+    expression (byte-identity contract); the grouper UDF only sees token
+    arrays. This is the relation the materialized tokens_tmp stores —
+    keeping the string there lets the vocab stage derive the dictionary
+    from the tmp instead of a third full corpus tokenize scan (a term
+    string averages the same bytes as the int64 id it replaces)."""
     toks = corpus.select(
         "doc_id",
         F.coalesce(
             spark_tokens(F.col("text")), F.array().cast("array<string>")
         ).alias("tokens"),
     )
-    rows = toks.mapInArrow(_doc_grouper, schema=_GROUPED_SCHEMA)
-    return rows.select(
-        "doc_id",
-        "doc_len",
-        "tf",
-        "pos_blob",
-        "term",
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
-        .cast("int")
-        .alias("shard"),
-    )
+    return toks.mapInArrow(_doc_grouper, schema=_GROUPED_SCHEMA)
 
 
 def drop_terms(rows: DataFrame) -> DataFrame:
     """Swap the term string for term_id = xxhash64(term) right before the
     posting shuffle — the exchange carries int64 keys, never strings
-    (term<->id uniqueness is asserted by the vocab stage). NOTE:
-    term_bucket is deliberately NOT a column — it is a pure function of
-    term_id (pmod), so callers repartition on the EXPRESSION and the
-    builder recomputes it, keeping the bytes out of the shuffle and the
-    JVM->Python Arrow pipe (the pipe transfer, not the sort, dominates
-    the segment stage: ~36 s of 43 s at 400k docs / local[16])."""
+    (term<->id uniqueness is asserted by the vocab stage). NOTE: neither
+    term_bucket NOR shard is a column — term_bucket is a pure function of
+    term_id and shard of doc_id (pmod(xxhash64)), so callers repartition/
+    sort on the EXPRESSIONS and the builder recomputes both Python-side
+    (functions.xxhash.xxhash64_long_vec, bit-identical to Spark's),
+    keeping the bytes out of the shuffle and the JVM->Python Arrow pipe
+    (the pipe transfer, not the sort, dominates the segment stage:
+    ~36 s of 43 s at 400k docs / local[16])."""
     return rows.select(
         "doc_id",
-        "doc_len",
-        "tf",
-        "pos_blob",
+        "blob",
         F.xxhash64("term").alias("term_id"),
-        "shard",
     )
 
 
-def grouped_postings(corpus: DataFrame, n_shards: int) -> DataFrame:
+def grouped_postings(corpus: DataFrame) -> DataFrame:
     """The pre-shuffle posting relation: one row per (doc, term), int64
     term_id, no strings (grouped_terms -> drop_terms)."""
-    return drop_terms(grouped_terms(corpus, n_shards))
+    return drop_terms(grouped_terms(corpus))
 
 
 def bucket_expr(n_buckets: int):
@@ -471,20 +470,52 @@ def bucket_expr(n_buckets: int):
     return F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int")
 
 
-def _segment_builder(avgdl: float, n_buckets: int):
-    """Streaming mapInArrow fn: sorted (shard, term_id, doc_id, doc_len,
-    tf, pos_blob) record batches — one row per doc-run, from
+def shard_expr(n_shards: int):
+    """shard as an expression over doc_id (for repartition/sort) — the
+    salted doc-sharding key; recomputed Python-side by the builder."""
+    return F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+
+
+def _decode_varbyte_at(data: np.ndarray, ptr: np.ndarray):
+    """Decode one varbyte value per pointer from a flat uint8 buffer.
+    Returns (values uint64, pointers advanced past the value). Vectorized:
+    the loop runs max-value-bytes (<=3 for doc_len/tf) iterations."""
+    val = np.zeros(ptr.size, dtype=np.uint64)
+    shift = np.zeros(ptr.size, dtype=np.uint64)
+    pos = ptr.astype(np.int64).copy()
+    active = np.arange(ptr.size)
+    while active.size:
+        b = data[pos[active]]
+        val[active] |= (b & np.uint8(0x7F)).astype(np.uint64) << shift[active]
+        shift[active] += np.uint64(7)
+        pos[active] += 1
+        active = active[(b & np.uint8(0x80)) != 0]
+    return val, pos
+
+
+def _segment_builder(avgdl: float, n_buckets: int, n_shards: int):
+    """Streaming mapInArrow fn: sorted (term_id, shard-of-doc_id, doc_id)
+    record batches of (doc_id, blob, term_id) — one row per doc-run, from
     grouped_postings() — -> one segment row per (term_id, shard) group.
-    term_bucket is recomputed here from term_id (pmod; numpy % matches
-    Spark pmod for a positive modulus) rather than shuffled as a column.
+    Neither term_bucket nor shard crosses the pipe: both are recomputed
+    here (term_bucket = term_id % n_buckets; shard = pmod(xxhash64(
+    doc_id), n_shards) via the bit-identical vectorized Python XXH64),
+    and doc_len/tf ride as a 2-value varbyte header inside the blob —
+    the JVM->Python Arrow transfer is the segment stage's dominant cost
+    (BENCH.md war story 6), so every fixed byte off the row is wall time.
     Arrow-native and string-free: every column is an int or a binary
     view, zero-copy to numpy. Accumulates batches into chunks, holds back
     the possibly-incomplete trailing group, flushes vectorized, and
     yields bounded (<= _OUT_ROWS) output batches."""
     import pyarrow as pa
-    import pyarrow.compute as pc
+
+    from ..functions.xxhash import xxhash64_long_vec
 
     schema = _seg_arrow_schema()
+
+    def shard_of(doc_ids: np.ndarray) -> np.ndarray:
+        # np.mod on int64 with positive modulus == Spark pmod
+        return np.mod(xxhash64_long_vec(doc_ids), np.int64(n_shards))
 
     def flush(tbl: "pa.Table") -> Iterator["pa.RecordBatch"]:
         col = lambda name: (
@@ -494,13 +525,26 @@ def _segment_builder(avgdl: float, n_buckets: int):
             .astype(np.int64)
         )
         term_ids = col("term_id")
-        pos_data, pos_offs = _flat_binary(tbl.column("pos_blob"))
+        doc_ids = col("doc_id")
+        data, offs = _flat_binary(tbl.column("blob"))
+        # strip the per-run [doc_len, tf] varbyte header; the remainder of
+        # each blob is the positions-sidecar payload
+        dl, p1 = _decode_varbyte_at(data, offs[:-1])
+        tf, p2 = _decode_varbyte_at(data, p1)
+        pay_len = offs[1:] - p2
+        pos_offs = np.concatenate([[0], np.cumsum(pay_len)])
+        total = int(pos_offs[-1])
+        src = (
+            np.repeat(p2 - pos_offs[:-1], pay_len)
+            + np.arange(total, dtype=np.int64)
+        )
+        pos_data = data[src]
         g_start_rows, cols = _build_chunk_arrays(
             term_ids,
-            col("shard"),
-            col("doc_id"),
-            col("doc_len"),
-            col("tf"),
+            shard_of(doc_ids),
+            doc_ids,
+            dl.astype(np.int64),
+            tf.astype(np.int64),
             pos_data,
             pos_offs,
             term_ids % np.int64(n_buckets),
@@ -531,10 +575,11 @@ def _segment_builder(avgdl: float, n_buckets: int):
             .combine_chunks()
             .to_numpy(zero_copy_only=False)
         )
-        sh = (
-            tbl.column("shard")
+        sh = shard_of(
+            tbl.column("doc_id")
             .combine_chunks()
             .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         change = np.flatnonzero(
             np.concatenate(
@@ -600,6 +645,13 @@ def _append_metrics(
 
 TOKENS_PER_PARTITION = 2_000_000  # target postings per build partition
 
+# fused-path persist gate: grouper-output cache estimate (~24 B/token)
+# must fit comfortably in block-manager memory+disk; beyond this, use
+# bucket_groups > 1 (parquet-materialized tokens_tmp) instead
+_FUSED_PERSIST_MAX_BYTES = int(
+    os.environ.get("TSS_FUSED_PERSIST_MAX_BYTES", str(8 << 30))
+)
+
 
 def _auto_size(total_tokens: int, parallelism: int) -> tuple:
     """Pick (n_buckets, n_shards) from corpus volume.
@@ -650,6 +702,16 @@ def build_index(
         )
         fmt.save_manifest(index_dir, man)
     else:
+        if man.format_version != fmt.FORMAT_VERSION:
+            # a partial build from an older layout cannot be resumed: its
+            # materialized tmp/segment files would be read through the
+            # current schemas (silent nulls or corrupt segments). Fail
+            # loudly; the caller deletes the dir to rebuild.
+            raise ValueError(
+                f"cannot resume: partial build at {index_dir} has format "
+                f"v{man.format_version}, engine is v{fmt.FORMAT_VERSION} — "
+                "delete the directory and rebuild"
+            )
         n_buckets, n_shards = man.n_buckets, man.n_shards
         auto = n_buckets == 0  # crashed before doc_stats sized it
 
@@ -717,7 +779,7 @@ def build_index(
         # docs, and the inline-size() alternative hit a Catalyst
         # CollapseProject hazard — see
         # tests/test_plans.py::test_no_tokenizer_above_generate).
-        return grouped_postings(corpus, n_shards)
+        return grouped_postings(corpus)
 
     # ---- stage: tokens_tmp (posting rows materialized ONLY when the
     # segment stage is split into multiple resumable units — a single-unit
@@ -727,9 +789,29 @@ def build_index(
     # vocab stage below derives the dictionary from it — at scale this
     # drops a full corpus tokenize scan (3 scans -> 2). ----
     materialize = bucket_groups > 1
+
+    # Fused single-unit path (bucket_groups=1): share ONE grouper scan
+    # between the vocab and segment stages by persisting the grouper
+    # output (serialized, disk-backed) for the build's duration — 2
+    # corpus tokenize scans -> 1. Size-gated: the posting relation is
+    # bounded by ~24 B x total_tokens (8B doc_id + 8B term-string avg +
+    # blob + overhead); beyond the gate the multi-unit path's parquet
+    # materialization (tokens_tmp) is the right spill medium, not the
+    # block-manager cache.
+    fused_rows = None
+    if (
+        not materialize
+        and man.total_tokens * 24 <= _FUSED_PERSIST_MAX_BYTES
+    ):
+        from pyspark import StorageLevel
+
+        fused_rows = grouped_terms(corpus).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
     if materialize and not man.stages.get("tokens"):
         (
-            grouped_terms(corpus, n_shards)
+            grouped_terms(corpus)
             .withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
@@ -737,7 +819,7 @@ def build_index(
             .repartition(
                 max(n_buckets, spark.sparkContext.defaultParallelism),
                 "term_bucket",
-                "shard",
+                shard_expr(n_shards),
             )
             .write.mode("overwrite")
             .partitionBy("term_bucket")
@@ -757,6 +839,8 @@ def build_index(
                 .select("term")
                 .distinct()
             )
+        elif fused_rows is not None:
+            terms_src = fused_rows.select("term").distinct()
         else:
             terms_src = corpus.select(
                 F.explode(spark_tokens(F.col("text"))).alias("term")
@@ -806,6 +890,8 @@ def build_index(
                     F.col("term_bucket").isin(buckets)  # partition-pruned
                 )
             )
+        elif fused_rows is not None:
+            toks = drop_terms(fused_rows)  # cached: no re-tokenize
         else:
             toks = posting_rows()
         from pyspark.sql import Observation
@@ -815,11 +901,14 @@ def build_index(
             toks.repartition(
                 max(len(buckets) * n_shards, 1),
                 bucket_expr(n_buckets),
-                F.col("shard"),
+                shard_expr(n_shards),
             )
-            .sortWithinPartitions("term_id", "shard", "doc_id")
+            .sortWithinPartitions(
+                "term_id", shard_expr(n_shards), "doc_id"
+            )
             .mapInArrow(
-                _segment_builder(man.avgdl, n_buckets), schema=seg_schema
+                _segment_builder(man.avgdl, n_buckets, n_shards),
+                schema=seg_schema,
             )
             # metrics ride the write job itself — re-reading the segments
             # just written would be a second full scan of the new index
@@ -852,6 +941,9 @@ def build_index(
             nbytes,
         )
         checkpoint(stage_name)
+
+    if fused_rows is not None:
+        fused_rows.unpersist()
 
     # ---- stage: term_stats (small agg over segment rows ⋈ vocab) ----
     if not man.stages.get("term_stats"):

