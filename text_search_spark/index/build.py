@@ -493,7 +493,168 @@ def _decode_varbyte_at(data: np.ndarray, ptr: np.ndarray):
     return val, pos
 
 
-def _segment_builder(avgdl: float, n_buckets: int, n_shards: int):
+# defensive spill: a single still-open (term, shard) group accumulated
+# beyond this many rows stops buffering in memory and spools to a local
+# Arrow IPC file; the group is then encoded STREAMING (block-at-a-time)
+# with working set = one chunk + the group's encoded output bytes. The
+# structural bound (_auto_size: largest partial = max_df/n_shards) makes
+# this path unreachable in a well-sized build — it converts an OOM into
+# sequential local-disk traffic when sizing assumptions break.
+_SPILL_GROUP_ROWS = int(
+    os.environ.get("TSS_SPILL_GROUP_ROWS", str(4 * _CHUNK_ROWS))
+)
+
+
+def _decode_posting_rows(tbl):
+    """(doc_id, blob, term_id) Arrow table -> numpy views: term_ids,
+    doc_ids, doc_len, tf, stripped positions payload (pos_data, pos_offs).
+    Shared by the in-memory flush and the spill-stream encoder."""
+    col = lambda name: (
+        tbl.column(name)
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    term_ids = col("term_id")
+    doc_ids = col("doc_id")
+    data, offs = _flat_binary(tbl.column("blob"))
+    dl, p1 = _decode_varbyte_at(data, offs[:-1])
+    tf, p2 = _decode_varbyte_at(data, p1)
+    pay_len = offs[1:] - p2
+    pos_offs = np.concatenate([[0], np.cumsum(pay_len)])
+    total = int(pos_offs[-1])
+    src = (
+        np.repeat(p2 - pos_offs[:-1], pay_len)
+        + np.arange(total, dtype=np.int64)
+    )
+    return term_ids, doc_ids, dl.astype(np.int64), tf.astype(np.int64), (
+        data[src]
+    ), pos_offs
+
+
+def _encode_group_streaming(
+    chunks, avgdl: float, n_buckets: int, n_shards: int
+):
+    """Encode ONE (term, shard) group from an iterator of Arrow tables
+    (rows doc_id-ascending across chunks — the partition sort guarantees
+    it, so no merge is needed) into a single segment row, block-at-a-time:
+    peak memory = one chunk + the group's ENCODED bytes (~1-2 B/posting),
+    never the decoded 20+ B/posting arrays for the whole group.
+    Byte-identical to _build_chunk_arrays for the same rows (varbyte is
+    per-value; block payloads concatenate)."""
+    from ..codec import (
+        _BM_DTYPE,
+        _HDR_DTYPE,
+        _PREFIX_DTYPE,
+        BLOCK,
+        tf_saturation,
+        varbyte_encode_with_sizes,
+    )
+    from ..functions.xxhash import xxhash64_long_vec
+
+    payload = bytearray()
+    positions = bytearray()
+    headers: List[bytes] = []
+    bms: List[bytes] = []
+    n_docs = 0
+    cf = 0
+    prev_doc = None
+    term_id = None
+    shard = None
+    # carry of decoded-but-unencoded rows (< BLOCK of them)
+    c_doc = np.empty(0, np.int64)
+    c_dl = np.empty(0, np.int64)
+    c_tf = np.empty(0, np.int64)
+
+    def encode_blocks(doc, dl, tf, final: bool):
+        nonlocal prev_doc, n_docs, cf
+        n = doc.size
+        stop = n if final else (n // BLOCK) * BLOCK
+        for s in range(0, stop, BLOCK):
+            e = min(s + BLOCK, stop)
+            d = doc[s:e]
+            gaps = d.copy()
+            if prev_doc is None:
+                gaps[1:] = d[1:] - d[:-1]  # first doc of group: absolute
+            else:
+                gaps = np.empty_like(d)
+                gaps[0] = d[0] - prev_doc
+                gaps[1:] = d[1:] - d[:-1]
+            vals = np.concatenate(
+                [
+                    gaps.astype(np.uint64),
+                    tf[s:e].astype(np.uint64),
+                    dl[s:e].astype(np.uint64),
+                ]
+            )
+            blk, _ = varbyte_encode_with_sizes(vals)
+            hdr = np.empty(1, dtype=_HDR_DTYPE)
+            hdr["nd"] = e - s
+            hdr["nbytes"] = len(blk)
+            headers.append(hdr.tobytes())
+            sat = tf_saturation(tf[s:e], dl[s:e], avgdl).astype(np.float32)
+            bm = np.empty(1, dtype=_BM_DTYPE)
+            bm["max_sat"] = sat.max()
+            bm["last_doc"] = np.uint64(d[-1])
+            bms.append(bm.tobytes())
+            payload.extend(blk)
+            prev_doc = int(d[-1])
+            n_docs += e - s
+            cf += int(tf[s:e].sum())
+        return stop
+
+    for tbl in chunks:
+        if tbl.num_rows == 0:
+            continue
+        t_ids, doc, dl, tf, pos_data, pos_offs = _decode_posting_rows(tbl)
+        if term_id is None:
+            term_id = int(t_ids[0])
+            shard = int(
+                np.mod(
+                    xxhash64_long_vec(doc[:1]), np.int64(n_shards)
+                )[0]
+            )
+        positions.extend(pos_data.tobytes())
+        doc = np.concatenate([c_doc, doc])
+        dl = np.concatenate([c_dl, dl])
+        tf = np.concatenate([c_tf, tf])
+        done = encode_blocks(doc, dl, tf, final=False)
+        c_doc, c_dl, c_tf = doc[done:], dl[done:], tf[done:]
+    if c_doc.size:
+        encode_blocks(c_doc, c_dl, c_tf, final=True)
+    if term_id is None:
+        return None
+    prefix = np.empty(1, dtype=_PREFIX_DTYPE)
+    prefix["n_docs"] = n_docs
+    prefix["n_blocks"] = len(headers)
+    postings_cell = (
+        prefix.tobytes() + b"".join(headers) + bytes(payload)
+    )
+    if len(postings_cell) >= (1 << 31) - 1:
+        raise OverflowError(
+            "single (term, shard) posting list exceeds the 2 GiB Arrow "
+            "cell limit even after spilling — increase n_shards"
+        )
+    return {
+        "term_bucket": int(term_id % n_buckets),
+        "term_id": term_id,
+        "shard": shard,
+        "df_part": n_docs,
+        "cf_part": cf,
+        "postings": postings_cell,
+        "positions": bytes(positions),
+        "blockmax": b"".join(bms),
+        "bm_avgdl": float(avgdl),
+    }
+
+
+def _segment_builder(
+    avgdl: float,
+    n_buckets: int,
+    n_shards: int,
+    spill_rows: Optional[int] = None,
+    chunk_rows: Optional[int] = None,
+):
     """Streaming mapInArrow fn: sorted (term_id, shard-of-doc_id, doc_id)
     record batches of (doc_id, blob, term_id) — one row per doc-run, from
     grouped_postings() — -> one segment row per (term_id, shard) group.
@@ -511,6 +672,11 @@ def _segment_builder(avgdl: float, n_buckets: int, n_shards: int):
 
     from ..functions.xxhash import xxhash64_long_vec
 
+    # resolved DRIVER-side at builder construction so tests/conf changes
+    # reach the worker through the serialized closure (workers re-import
+    # the module and would otherwise see the default global)
+    spill_rows = _SPILL_GROUP_ROWS if spill_rows is None else spill_rows
+    chunk_rows = _CHUNK_ROWS if chunk_rows is None else chunk_rows
     schema = _seg_arrow_schema()
 
     def shard_of(doc_ids: np.ndarray) -> np.ndarray:
@@ -518,33 +684,15 @@ def _segment_builder(avgdl: float, n_buckets: int, n_shards: int):
         return np.mod(xxhash64_long_vec(doc_ids), np.int64(n_shards))
 
     def flush(tbl: "pa.Table") -> Iterator["pa.RecordBatch"]:
-        col = lambda name: (
-            tbl.column(name)
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
+        term_ids, doc_ids, dl, tf, pos_data, pos_offs = (
+            _decode_posting_rows(tbl)
         )
-        term_ids = col("term_id")
-        doc_ids = col("doc_id")
-        data, offs = _flat_binary(tbl.column("blob"))
-        # strip the per-run [doc_len, tf] varbyte header; the remainder of
-        # each blob is the positions-sidecar payload
-        dl, p1 = _decode_varbyte_at(data, offs[:-1])
-        tf, p2 = _decode_varbyte_at(data, p1)
-        pay_len = offs[1:] - p2
-        pos_offs = np.concatenate([[0], np.cumsum(pay_len)])
-        total = int(pos_offs[-1])
-        src = (
-            np.repeat(p2 - pos_offs[:-1], pay_len)
-            + np.arange(total, dtype=np.int64)
-        )
-        pos_data = data[src]
         g_start_rows, cols = _build_chunk_arrays(
             term_ids,
             shard_of(doc_ids),
             doc_ids,
-            dl.astype(np.int64),
-            tf.astype(np.int64),
+            dl,
+            tf,
             pos_data,
             pos_offs,
             term_ids % np.int64(n_buckets),
@@ -588,24 +736,136 @@ def _segment_builder(avgdl: float, n_buckets: int, n_shards: int):
         )
         return int(change[-1])
 
+    def spooled_prefix_rows(tbl: "pa.Table", key) -> int:
+        """Leading rows of tbl continuing the spooled (term_id, shard)
+        group (sorted input => they form a prefix)."""
+        t = (
+            tbl.column("term_id")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        d = (
+            tbl.column("doc_id")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        mask = (t == key[0]) & (shard_of(d) == key[1])
+        if mask.all():
+            return tbl.num_rows
+        return int(np.argmin(mask))
+
+    def row_to_batch(row: dict) -> "pa.RecordBatch":
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([row["term_bucket"]], pa.int32()),
+                pa.array([row["term_id"]], pa.int64()),
+                pa.array([row["shard"]], pa.int32()),
+                pa.array([row["df_part"]], pa.int64()),
+                pa.array([row["cf_part"]], pa.int64()),
+                pa.array([row["postings"]], pa.binary()),
+                pa.array([row["positions"]], pa.binary()),
+                pa.array([row["blockmax"]], pa.binary()),
+                pa.array([row["bm_avgdl"]], pa.float64()),
+            ],
+            schema=schema,
+        )
+
     def build(batches):
+        import tempfile
+
         pending: List["pa.RecordBatch"] = []
         pending_rows = 0
+        spool = None  # {"path", "writer", "key"} for one oversized group
+
+        def open_spool(tbl: "pa.Table"):
+            nonlocal spool
+            fd, path = tempfile.mkstemp(suffix=".spool.arrow")
+            os.close(fd)
+            sink = pa.OSFile(path, "wb")
+            writer = pa.ipc.new_stream(sink, tbl.schema)
+            writer.write_table(tbl)
+            t0 = int(tbl.column("term_id")[0].as_py())
+            d0 = np.asarray(
+                [int(tbl.column("doc_id")[0].as_py())], dtype=np.int64
+            )
+            spool = {
+                "path": path,
+                "writer": writer,
+                "sink": sink,
+                "key": (t0, int(shard_of(d0)[0])),
+            }
+
+        def finalize_spool():
+            nonlocal spool
+            spool["writer"].close()
+            spool["sink"].close()
+            path = spool["path"]
+            spool_ = spool
+            spool = None
+
+            def chunks():
+                with pa.OSFile(path, "rb") as f:
+                    reader = pa.ipc.open_stream(f)
+                    for b in reader:
+                        yield pa.Table.from_batches([b])
+
+            try:
+                row = _encode_group_streaming(
+                    chunks(), avgdl, n_buckets, n_shards
+                )
+            finally:
+                os.unlink(path)
+            return None if row is None else row_to_batch(row)
+
+        def process(tbl: "pa.Table"):
+            nonlocal pending, pending_rows, spool
+            if spool is not None:
+                ge = spooled_prefix_rows(tbl, spool["key"])
+                if ge > 0:
+                    spool["writer"].write_table(tbl.slice(0, ge))
+                if ge == tbl.num_rows:
+                    pending, pending_rows = [], 0
+                    return
+                rb = finalize_spool()
+                if rb is not None:
+                    yield rb
+                tbl = tbl.slice(ge)
+            ls = last_group_start(tbl)
+            if ls > 0:
+                yield from flush(tbl.slice(0, ls))
+                rest = tbl.slice(ls)
+            else:
+                rest = tbl
+            if rest.num_rows >= spill_rows:
+                open_spool(rest)
+                pending, pending_rows = [], 0
+            else:
+                pending = rest.to_batches()
+                pending_rows = rest.num_rows
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             pending.append(batch)
             pending_rows += batch.num_rows
-            if pending_rows >= _CHUNK_ROWS:
+            if pending_rows >= chunk_rows:
+                yield from process(pa.Table.from_batches(pending))
+        if spool is not None:
+            rest = None
+            if pending_rows:
                 tbl = pa.Table.from_batches(pending)
-                ls = last_group_start(tbl)
-                if ls > 0:
-                    yield from flush(tbl.slice(0, ls))
-                    pending = tbl.slice(ls).to_batches()
-                else:
-                    pending = tbl.to_batches()
-                pending_rows = sum(b.num_rows for b in pending)
-        if pending_rows:
+                ge = spooled_prefix_rows(tbl, spool["key"])
+                if ge > 0:
+                    spool["writer"].write_table(tbl.slice(0, ge))
+                if ge < tbl.num_rows:
+                    rest = tbl.slice(ge)
+            rb = finalize_spool()
+            if rb is not None:
+                yield rb
+            if rest is not None:
+                yield from flush(rest)
+        elif pending_rows:
             yield from flush(pa.Table.from_batches(pending))
 
     return build
