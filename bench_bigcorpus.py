@@ -97,6 +97,7 @@ def main() -> None:
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
 
     # ---- build with an injected mid-run crash, then resume ----
+    print("building (with injected crash)...", file=sys.stderr)
     t0 = time.perf_counter()
     crashed = False
     try:
@@ -117,6 +118,8 @@ def main() -> None:
     man = ixfmt.load_manifest(INDEX_DIR)
     done_before = sorted(k for k, v in man.stages.items() if v)
 
+    print(f"crashed after {build1_s:.0f}s with stages {done_before}; resuming...",
+          file=sys.stderr)
     t0 = time.perf_counter()
     build_index(
         spark,
@@ -125,6 +128,7 @@ def main() -> None:
         n_buckets=None,
         n_shards=None,
         bucket_groups=4,
+        cleanup_tmp=False,  # keep tokens_tmp measurable; removed below
     )
     resume_s = time.perf_counter() - t0
     man = ixfmt.load_manifest(INDEX_DIR)
@@ -140,6 +144,7 @@ def main() -> None:
         .limit(N_CHECK_TERMS)
         .collect()
     ]
+    print(f"resume done; engine query spot-check on {terms}", file=sys.stderr)
     reader = IndexReader(spark, INDEX_DIR)
     specs = [QuerySpec(t, [t], "or") for t in terms]
     t0 = time.perf_counter()
@@ -161,9 +166,17 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"SET threads={CORES}")
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     con.execute(
         f"CREATE VIEW documents AS SELECT {duckdb_doc_id_sql('url')} AS "
         f"doc_id, text FROM '{CORPUS_DIR}/*.parquet'"
+    )
+    # materialize the token relation ONCE (several CTE consumers) with
+    # out-of-core spill, instead of re-evaluating the tokenizer per use
+    con.execute(
+        f"CREATE TEMP TABLE toks AS SELECT doc_id, "
+        f"unnest({duckdb_tokens_sql('text')}) AS term FROM documents"
     )
     qlist = ", ".join(f"('{t}')" for t in terms)
     idf = "ln(1.0 + ((SELECT n FROM g) - d.df + 0.5) / (d.df + 0.5))"
@@ -172,9 +185,7 @@ def main() -> None:
         "(SELECT avgdl FROM g)))"
     )
     sql = f"""
-WITH toks AS (SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term
-              FROM documents),
-tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
 g AS (SELECT (SELECT count(*) FROM documents) AS n,
@@ -193,6 +204,7 @@ ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
 SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_r
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
+    print("running DuckDB oracle...", file=sys.stderr)
     t0 = time.perf_counter()
     want = con.execute(sql).fetchdf().reset_index(drop=True)
     oracle_s = time.perf_counter() - t0
@@ -203,6 +215,8 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
         for r, _d, fs in os.walk(os.path.join(INDEX_DIR, "tokens_tmp"))
         for f in fs
     ) if os.path.isdir(os.path.join(INDEX_DIR, "tokens_tmp")) else 0
+
+    shutil.rmtree(os.path.join(INDEX_DIR, "tokens_tmp"), ignore_errors=True)
 
     result = {
         "metric": "bigger-than-heap e2e build + resume + oracle spot-check",
