@@ -295,6 +295,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_ivf_multiassign(spark, sf_dir):
+        # IVF with n_assign=2 multi-assignment (the standard recall lever:
+        # each vector lives in its 2 nearest cells, candidates dedupe
+        # before top-k); deterministic quantizer so DuckDB replays it
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return ann.ivf_topk(e, qs, k=5, n_cells=16, nprobe=4, n_assign=2)
+
+    q["ann_ivf_multiassign"] = ann_ivf_multiassign
+
+    def ann_ivf_kmeans(spark, sf_dir):
+        # trained spherical-k-means quantizer (seeded MLlib) — training is
+        # not SQL-expressible, so this is a rows-only driver check; recall
+        # quality is pinned by tests/test_ann_recall.py
+        e = _t(spark, sf_dir, "embeddings")
+        qs = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return ann.ivf_topk(
+            e, qs, k=5, n_cells=16, nprobe=4, quantizer="kmeans"
+        )
+
+    q["ann_ivf_kmeans"] = ann_ivf_kmeans
+
     # ---- text analysis ----
     q["langid"] = lambda spark, sf_dir: textstats.langid_scores(
         _t(spark, sf_dir, "documents")
@@ -1561,6 +1587,45 @@ dots AS (SELECT p.q_id, a.vec_id,
   JOIN ex eq ON eq.vec_id = p.q_id AND eq.i = ea.i
   JOIN norms na ON na.vec_id = a.vec_id
   JOIN norms nq ON nq.vec_id = p.q_id
+  GROUP BY 1, 2, na.nrm, nq.nrm),
+ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM dots)
+SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+    # ---- ann_ivf_multiassign: same IVF replica but every vector is
+    # assigned to its TOP-2 cells (rn <= 2) and candidate pairs dedupe
+    # before the exact dot product (a vector in two probed cells must
+    # contribute once, not twice) ----
+    o["ann_ivf_multiassign"] = """
+WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+cent_ids AS (SELECT vec_id AS cid,
+  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+cdots AS (SELECT a.vec_id, c.cell,
+  round(sum(a.v * b.v) / (na.nrm * nb.nrm), 4) AS cos
+  FROM ex a JOIN cent_ids c ON true
+  JOIN ex b ON b.vec_id = c.cid AND b.i = a.i
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = c.cid
+  GROUP BY a.vec_id, c.cell, na.nrm, nb.nrm),
+assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number()
+  OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn FROM cdots)
+  WHERE rn <= 2),
+probes AS (SELECT vec_id AS q_id, cell FROM (SELECT vec_id, cell,
+  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+  FROM cdots WHERE vec_id < 5) WHERE rn <= 4),
+cands AS (SELECT DISTINCT p.q_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.q_id),
+dots AS (SELECT c.q_id, c.vec_id,
+  round(sum(ea.v * eq.v) / (na.nrm * nq.nrm), 4) AS cos
+  FROM cands c
+  JOIN ex ea ON ea.vec_id = c.vec_id
+  JOIN ex eq ON eq.vec_id = c.q_id AND eq.i = ea.i
+  JOIN norms na ON na.vec_id = c.vec_id
+  JOIN norms nq ON nq.vec_id = c.q_id
   GROUP BY 1, 2, na.nrm, nq.nrm),
 ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
   ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM dots)

@@ -172,10 +172,12 @@ def test_levenshtein_vectorized_perf():
     rng = random.Random(0)
     q = [rng.randrange(50) for _ in range(5000)]
     t = [rng.randrange(50) for _ in range(6250)]
-    t0 = time.time()
+    # CPU time, not wall time: the bound must hold on a fully contended
+    # machine (the suite runs alongside benchmark builds in CI)
+    t0 = time.process_time()
     dist, aligns = levenshtein_distance(q, t, mode="infix")
-    elapsed = time.time() - t0
-    assert elapsed < 5.0, f"vectorized DP too slow: {elapsed:.2f}s"
+    elapsed = time.process_time() - t0
+    assert elapsed < 5.0, f"vectorized DP too slow: {elapsed:.2f}s CPU"
     assert dist > 0 and aligns
 
 
