@@ -922,11 +922,28 @@ def _auto_size(total_tokens: int, parallelism: int) -> tuple:
     it bounds head-term skew (largest partial = max_df / n_shards) AND sets
     query-side scoring parallelism. At 10^12 docs this yields thousands of
     buckets x hundreds of shards; on the local harness it stays small so
-    fixed per-partition overhead doesn't dominate."""
+    fixed per-partition overhead doesn't dominate. (A 4x-groups-per-
+    partition smoothing variant was A/B-measured in round 3 and reverted:
+    44.4 s vs 42.3 s at 400k docs/local[16] — the stage is transfer-bound,
+    not straggler-bound, so balls-into-bins smoothing buys nothing here.)
+    """
     target = max(2 * parallelism, total_tokens // TOKENS_PER_PARTITION + 1)
     n_shards = max(2, min(256, int(round(target ** 0.5))))
     n_buckets = max(4, (target + n_shards - 1) // n_shards)
     return n_buckets, n_shards
+
+
+def _partition_count(
+    total_tokens: int, parallelism: int, n_groups: int, bucket_groups: int
+) -> int:
+    """Segment-stage shuffle partition count for ONE bucket-group job:
+    bounded below by 2x cores (keep every slot busy) and above by the
+    group count (more partitions than groups leaves some empty), with
+    ~TOKENS_PER_PARTITION tokens of work per task so per-task fixed
+    overhead (Arrow setup, codegen) stays amortized."""
+    per_job = total_tokens // max(1, bucket_groups)
+    want = max(2 * parallelism, per_job // TOKENS_PER_PARTITION + 1)
+    return max(1, min(n_groups, want))
 
 
 def build_index(
@@ -1087,123 +1104,133 @@ def build_index(
         )
         checkpoint("tokens")
 
-    # ---- stage: vocab (the term dictionary; distinct terms only, so the
-    # map-side-combined shuffle is tiny next to the posting shuffle;
-    # sourced from tokens_tmp when it exists — doc-term rows, already
-    # tokenized — else from a corpus scan) ----
-    if not man.stages.get("vocab"):
-        if materialize:
-            terms_src = (
-                spark.read.schema(TOKENS_TMP_SCHEMA)
-                .parquet(tokens_path)
-                .select("term")
-                .distinct()
+    try:
+        # ---- stage: vocab (the term dictionary; distinct terms only, so the
+        # map-side-combined shuffle is tiny next to the posting shuffle;
+        # sourced from tokens_tmp when it exists — doc-term rows, already
+        # tokenized — else from a corpus scan) ----
+        if not man.stages.get("vocab"):
+            if materialize:
+                terms_src = (
+                    spark.read.schema(TOKENS_TMP_SCHEMA)
+                    .parquet(tokens_path)
+                    .select("term")
+                    .distinct()
+                )
+            elif fused_rows is not None:
+                terms_src = fused_rows.select("term").distinct()
+            else:
+                terms_src = corpus.select(
+                    F.explode(spark_tokens(F.col("text"))).alias("term")
+                ).distinct()
+            vocab = terms_src.select(
+                "term",
+                F.xxhash64("term").alias("term_id"),
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                .cast("int")
+                .alias("term_bucket"),
             )
-        elif fused_rows is not None:
-            terms_src = fused_rows.select("term").distinct()
-        else:
-            terms_src = corpus.select(
-                F.explode(spark_tokens(F.col("text"))).alias("term")
-            ).distinct()
-        vocab = terms_src.select(
-            "term",
-            F.xxhash64("term").alias("term_id"),
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-            .cast("int")
-            .alias("term_bucket"),
-        )
-        vocab.write.mode("overwrite").partitionBy("term_bucket").parquet(
-            fmt.vocab_dir(index_dir)
-        )
-        v = spark.read.schema(fmt.VOCAB_READ_SCHEMA).parquet(
-            fmt.vocab_dir(index_dir)
-        )
-        n_terms, n_ids = v.select(
-            F.count("*"), F.countDistinct("term_id")
-        ).first()
-        if n_terms != n_ids:
-            raise ValueError(
-                f"term_id collision: {n_terms} terms, {n_ids} ids — "
-                "switch to a 128-bit id"
+            vocab.write.mode("overwrite").partitionBy("term_bucket").parquet(
+                fmt.vocab_dir(index_dir)
             )
-        checkpoint("vocab")
+            v = spark.read.schema(fmt.VOCAB_READ_SCHEMA).parquet(
+                fmt.vocab_dir(index_dir)
+            )
+            n_terms, n_ids = v.select(
+                F.count("*"), F.countDistinct("term_id")
+            ).first()
+            if n_terms != n_ids:
+                raise ValueError(
+                    f"term_id collision: {n_terms} terms, {n_ids} ids — "
+                    "switch to a 128-bit id"
+                )
+            checkpoint("vocab")
 
-    # ---- stage: segments, in resumable bucket-group units ----
-    groups: List[List[int]] = [
-        list(range(g, n_buckets, bucket_groups)) for g in range(bucket_groups)
-    ]
-    seg_schema = (
-        "term_bucket int, term_id long, shard int, df_part long, "
-        "cf_part long, postings binary, positions binary, "
-        "blockmax binary, bm_avgdl double"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    for gi, buckets in enumerate(groups):
-        stage_name = f"segments:{gi}"
-        if man.stages.get(stage_name):
-            continue
-        if materialize:
-            toks = drop_terms(
-                spark.read.schema(TOKENS_TMP_SCHEMA)
-                .parquet(tokens_path)
-                .where(
-                    F.col("term_bucket").isin(buckets)  # partition-pruned
+        # ---- stage: segments, in resumable bucket-group units ----
+        groups: List[List[int]] = [
+            list(range(g, n_buckets, bucket_groups)) for g in range(bucket_groups)
+        ]
+        seg_schema = (
+            "term_bucket int, term_id long, shard int, df_part long, "
+            "cf_part long, postings binary, positions binary, "
+            "blockmax binary, bm_avgdl double"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for gi, buckets in enumerate(groups):
+            stage_name = f"segments:{gi}"
+            if man.stages.get(stage_name):
+                continue
+            if materialize:
+                toks = drop_terms(
+                    spark.read.schema(TOKENS_TMP_SCHEMA)
+                    .parquet(tokens_path)
+                    .where(
+                        F.col("term_bucket").isin(buckets)  # partition-pruned
+                    )
+                )
+            elif fused_rows is not None:
+                toks = drop_terms(fused_rows)  # cached: no re-tokenize
+            else:
+                toks = posting_rows()
+            from pyspark.sql import Observation
+
+            obs = Observation(f"seg_metrics_{gi}")
+            seg = (
+                toks.repartition(
+                    _partition_count(
+                        man.total_tokens,
+                        spark.sparkContext.defaultParallelism,
+                        len(buckets) * n_shards,
+                        bucket_groups,
+                    ),
+                    bucket_expr(n_buckets),
+                    shard_expr(n_shards),
+                )
+                .sortWithinPartitions(
+                    "term_id", shard_expr(n_shards), "doc_id"
+                )
+                .mapInArrow(
+                    _segment_builder(man.avgdl, n_buckets, n_shards),
+                    schema=seg_schema,
+                )
+                # metrics ride the write job itself — re-reading the segments
+                # just written would be a second full scan of the new index
+                # data per bucket-group (expensive at scale, pure overhead
+                # locally)
+                .observe(
+                    obs,
+                    F.coalesce(F.sum("df_part"), F.lit(0)).alias("docs"),
+                    F.coalesce(F.sum("cf_part"), F.lit(0)).alias("postings"),
+                    F.coalesce(F.sum(F.length("postings")), F.lit(0)).alias(
+                        "nbytes"
+                    ),
                 )
             )
-        elif fused_rows is not None:
-            toks = drop_terms(fused_rows)  # cached: no re-tokenize
-        else:
-            toks = posting_rows()
-        from pyspark.sql import Observation
+            (
+                seg.write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(fmt.segments_dir(index_dir))
+            )
+            got = obs.get
+            docs, postings, nbytes = got["docs"], got["postings"], got["nbytes"]
+            _append_metrics(
+                spark,
+                index_dir,
+                run_id,
+                stage_name,
+                f"buckets:{buckets}",
+                docs,
+                postings,
+                nbytes,
+            )
+            checkpoint(stage_name)
 
-        obs = Observation(f"seg_metrics_{gi}")
-        seg = (
-            toks.repartition(
-                max(len(buckets) * n_shards, 1),
-                bucket_expr(n_buckets),
-                shard_expr(n_shards),
-            )
-            .sortWithinPartitions(
-                "term_id", shard_expr(n_shards), "doc_id"
-            )
-            .mapInArrow(
-                _segment_builder(man.avgdl, n_buckets, n_shards),
-                schema=seg_schema,
-            )
-            # metrics ride the write job itself — re-reading the segments
-            # just written would be a second full scan of the new index
-            # data per bucket-group (expensive at scale, pure overhead
-            # locally)
-            .observe(
-                obs,
-                F.coalesce(F.sum("df_part"), F.lit(0)).alias("docs"),
-                F.coalesce(F.sum("cf_part"), F.lit(0)).alias("postings"),
-                F.coalesce(F.sum(F.length("postings")), F.lit(0)).alias(
-                    "nbytes"
-                ),
-            )
-        )
-        (
-            seg.write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(fmt.segments_dir(index_dir))
-        )
-        got = obs.get
-        docs, postings, nbytes = got["docs"], got["postings"], got["nbytes"]
-        _append_metrics(
-            spark,
-            index_dir,
-            run_id,
-            stage_name,
-            f"buckets:{buckets}",
-            docs,
-            postings,
-            nbytes,
-        )
-        checkpoint(stage_name)
-
-    if fused_rows is not None:
-        fused_rows.unpersist()
+    finally:
+        # unpersist even on an injected/real failure — a leaked
+        # cached posting relation would shadow the next attempt's
+        # block-manager budget for the session's lifetime
+        if fused_rows is not None:
+            fused_rows.unpersist()
 
     # ---- stage: term_stats (small agg over segment rows ⋈ vocab) ----
     if not man.stages.get("term_stats"):
