@@ -321,6 +321,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_kmeans"] = ann_ivf_kmeans
 
+    def repetition_stats_q(spark, sf_dir):
+        # Gopher-style repetition signals (dup-line fractions are pure
+        # per-row JVM expressions; top-bigram is one map-side-combined
+        # agg per distinct (doc, bigram))
+        from text_search_spark.operators.textstats import repetition_stats
+
+        return repetition_stats(_t(spark, sf_dir, "documents"))
+
+    q["repetition_stats"] = repetition_stats_q
+
     # ---- text analysis ----
     q["langid"] = lambda spark, sf_dir: textstats.langid_scores(
         _t(spark, sf_dir, "documents")
@@ -1204,6 +1214,37 @@ SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
        THEN round(a.n_distinct / a.n_tokens, 6) ELSE 0.0 END
        AS distinct_ratio
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+    o["repetition_stats"] = f"""
+WITH lns AS (SELECT doc_id,
+  list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS ls
+  FROM documents),
+linestats AS (SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines,
+  CASE WHEN len(ls) > 0 THEN round(
+    (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
+    ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) > 0
+    THEN round((list_sum(list_transform(ls, x -> length(x)))
+      - list_sum(list_transform(list_distinct(ls), x -> length(x))))::DOUBLE
+      / list_sum(list_transform(ls, x -> length(x))), 6)
+    ELSE 0.0 END AS dup_line_char_frac
+  FROM lns),
+{_TOKS},
+ntok AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+big AS (SELECT doc_id,
+  term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM toks),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM big
+        WHERE bg IS NOT NULL GROUP BY 1, 2),
+topbg AS (SELECT doc_id, max(c) AS top_n FROM bgc GROUP BY 1)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+  CASE WHEN coalesce(n.n_tokens, 0) > 0
+    THEN round(least(2.0 * coalesce(t.top_n, 0) / n.n_tokens, 1.0), 6)
+    ELSE 0.0 END AS top_bigram_frac
+FROM linestats l
+LEFT JOIN ntok n ON n.doc_id = l.doc_id
+LEFT JOIN topbg t ON t.doc_id = l.doc_id
 """
 
     o["token_counts"] = f"""

@@ -98,3 +98,32 @@ def test_complete_index_refuses_overwrite(spark, tmp_path):
     build_index(spark, corpus, d, n_buckets=2, n_shards=2, bucket_groups=1)
     with pytest.raises(ValueError, match="already complete"):
         build_index(spark, corpus, d)
+
+
+def test_resume_refuses_other_format_version(spark, tmp_path):
+    """A partial build from another FORMAT_VERSION must fail loudly on
+    resume (ADVICE r2: the old behavior silently read stale tmp through
+    the current schema)."""
+    import pytest
+
+    import text_search_spark.index.build as B
+    from text_search_spark.index import format as ixfmt
+
+    pdf = spark.createDataFrame(
+        [(i, f"alpha w{i}", str(i)) for i in range(20)],
+        "doc_id long, text string, url string",
+    )
+    corpus = B.prepare_corpus(pdf, doc_id_col="doc_id")
+    ix = str(tmp_path / "ix_oldfmt")
+    with pytest.raises(RuntimeError, match="injected"):
+        B.build_index(
+            spark, corpus, ix, n_buckets=4, n_shards=2,
+            bucket_groups=2, fail_after="tokens",
+        )
+    man = ixfmt.load_manifest(ix)
+    man.format_version = ixfmt.FORMAT_VERSION - 1  # simulate older layout
+    ixfmt.save_manifest(ix, man)
+    with pytest.raises(ValueError, match="cannot resume"):
+        B.build_index(
+            spark, corpus, ix, n_buckets=4, n_shards=2, bucket_groups=2
+        )

@@ -89,3 +89,25 @@ def test_spark_tokenizer_matches_python(spark):
     )
     for row, text in zip(out, texts):
         assert row.toks == tokenize(text), (row.id, text)
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher repetition signals on hand-computable docs."""
+    from text_search_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d\n\na b"),   # 'a b' x3 of 4 non-empty lines
+            (2, "x y x y x y"),            # top bigram covers all tokens
+            (3, ""),                        # degenerate
+            (4, "unique words only here"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert (out[1].n_lines, out[1].dup_line_frac,
+            out[1].dup_line_char_frac, out[1].top_bigram_frac) == (
+        4, 0.5, 0.5, 0.75)
+    assert out[2].top_bigram_frac == 1.0 and out[2].dup_line_frac == 0.0
+    assert (out[3].n_lines, out[3].top_bigram_frac) == (0, 0.0)
+    assert out[4].top_bigram_frac == 0.5  # 2/n_tokens floor for unique text

@@ -122,3 +122,99 @@ def bpe_token_counts(
         F.col(id_col),
         F.regexp_count(F.col(text_col), F.lit(BPE_RE)).alias("n_bpe_tokens"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, "Scaling Language Models", table A1 — public paper):
+
+      dup_line_frac       fraction of non-empty lines that repeat an
+                          earlier line
+      dup_line_char_frac  fraction of line characters inside the extra
+                          occurrences of repeated lines
+      top_bigram_frac     fraction of tokens covered by the single most
+                          frequent token bigram
+
+    Line metrics are pure per-row JVM expressions (split + array_distinct
+    + aggregate — no shuffle); the bigram metric explodes bigrams and
+    reduces with ONE map-side-combined agg keyed by (doc, bigram) then a
+    per-doc max — at 100 TB both shuffles carry one row per distinct key,
+    never per token. Degenerate inputs (no newlines, <2 tokens) yield 0."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    chars = lambda arr: F.aggregate(
+        arr, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    total_chars = chars(lines)
+    distinct_chars = chars(F.array_distinct(lines))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        F.round(
+            F.when(
+                n_lines > 0,
+                (n_lines - n_distinct).cast("double") / n_lines,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(
+                total_chars > 0,
+                (total_chars - distinct_chars).cast("double") / total_chars,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+        spark_tokens(F.col(text_col)).alias("toks"),
+    )
+    toks = F.col("toks")
+    n_tokens = F.size(toks)
+    bigrams = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_tokens - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        n_tokens.alias("n_tokens"),
+        F.explode_outer(bigrams).alias("bigram"),
+    )
+    top = (
+        exploded.groupBy(
+            "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "n_tokens", "bigram",
+        )
+        .count()
+        .groupBy(
+            "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "n_tokens",
+        )
+        .agg(
+            F.max(
+                F.when(F.col("bigram").isNotNull(), F.col("count"))
+                .otherwise(F.lit(0))
+            ).alias("top_bigram_n")
+        )
+    )
+    return top.select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                # a bigram occurring k times covers 2k token slots,
+                # capped at n_tokens (overlapping occurrences)
+                F.least(
+                    2.0 * F.col("top_bigram_n") / F.col("n_tokens"),
+                    F.lit(1.0),
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
