@@ -331,6 +331,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = repetition_stats_q
 
+    def dedup_lines_q(spark, sf_dir):
+        # corpus-wide first-occurrence line dedup (RefinedWeb/Dolma
+        # shape); owner per line = map-side-combined min(struct), never
+        # a per-line window
+        from text_search_spark.operators.dedup import dedup_lines
+
+        return dedup_lines(_t(spark, sf_dir, "documents"))
+
+    q["dedup_lines"] = dedup_lines_q
+
     # ---- text analysis ----
     q["langid"] = lambda spark, sf_dir: textstats.langid_scores(
         _t(spark, sf_dir, "documents")
@@ -1245,6 +1255,29 @@ SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
 FROM linestats l
 LEFT JOIN ntok n ON n.doc_id = l.doc_id
 LEFT JOIN topbg t ON t.doc_id = l.doc_id
+"""
+
+    o["dedup_lines"] = """
+WITH lns AS (SELECT doc_id, unnest(ls) AS line,
+    generate_subscripts(ls, 1) - 1 AS line_no
+  FROM (SELECT doc_id,
+          list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS ls
+        FROM documents) _x),
+ranked AS (SELECT doc_id, line_no, line,
+    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lns),
+agg AS (SELECT doc_id,
+    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lines_kept,
+    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lines_dropped,
+    md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+      ORDER BY line_no), '')) AS text_fp
+  FROM ranked GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+  coalesce(a.n_lines_dropped, 0) AS n_lines_dropped,
+  coalesce(a.text_fp, md5('')) AS text_fp
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
     o["token_counts"] = f"""

@@ -130,3 +130,30 @@ def test_all_blank_corpus_builds_and_queries_empty(spark, tmp_path):
             ).count()
             == 0
         )
+
+
+def test_dedup_lines_cross_doc(spark):
+    """Corpus-wide first-occurrence line dedup: the owner doc keeps the
+    line, every later occurrence (any doc, incl. repeats in the owner)
+    drops; empty docs survive with the empty fingerprint."""
+    import hashlib
+
+    from text_search_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared line\nunique a"),
+            (2, "shared line\nunique b\nshared line"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (2, 0)
+    assert out[1].text_fp == hashlib.md5(
+        b"shared line\nunique a"
+    ).hexdigest()
+    assert (out[2].n_lines_kept, out[2].n_lines_dropped) == (1, 2)
+    assert out[2].text_fp == hashlib.md5(b"unique b").hexdigest()
+    assert (out[3].n_lines_kept, out[3].n_lines_dropped) == (0, 0)
+    assert out[3].text_fp == hashlib.md5(b"").hexdigest()

@@ -211,3 +211,78 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the RefinedWeb/Dolma shape:
+    a line repeated ANYWHERE in the corpus survives only at its first
+    occurrence, ordered by (doc_id, line_no); public method, e.g.
+    Penedo et al. 2023 "The RefinedWeb Dataset").
+
+    Returns (doc_id, n_lines_kept, n_lines_dropped, text_fp) where
+    text_fp = md5 of the reassembled deduplicated text (scalar so the
+    driver's canonicalizer can hash it; callers wanting the text itself
+    use the same pipeline without the final md5).
+
+    Scale shape: the first-occurrence owner per line is ONE
+    map-side-combined `min(struct(doc_id, line_no))` aggregation keyed
+    by the line (never a window over per-line partitions, whose hottest
+    line would serialize into one task), then an equi-join back on the
+    line marks keepers, then one per-doc reassembly agg. Three
+    combiner-friendly shuffles, no skew hotspot beyond the hash join on
+    the hottest line's candidate rows."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0
+            )
+        ).alias("line_no", "line"),
+    )
+    first = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("first_at")
+    )
+    kept = (
+        lines.join(first, "line")
+        .withColumn(
+            "keep",
+            (F.col("first_at.doc_id") == F.col("doc_id"))
+            & (F.col("first_at.line_no") == F.col("line_no")),
+        )
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_lines_kept"),
+        F.sum((~F.col("keep")).cast("int")).alias("n_lines_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("text_fp"),
+    )
+    # docs with no non-empty lines never reach the explode — restore them
+    # with zero counts and the empty-text fingerprint
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("n_lines_dropped", F.lit(0)).alias(
+                "n_lines_dropped"
+            ),
+            F.coalesce("text_fp", F.md5(F.lit(""))).alias("text_fp"),
+        )
+    )
