@@ -341,6 +341,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_lines"] = dedup_lines_q
 
+    def pii_stats_q(spark, sf_dir):
+        # PII counts + masked-text fingerprint over a corpus seeded with
+        # synthetic PII rows (the base table has none — the union makes
+        # the check exercise every pattern)
+        from text_search_spark.operators.pii import pii_stats
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        seeded = spark.createDataFrame(
+            [
+                (10**9 + 1,
+                 "contact bob.smith+x@mail-host.org or 10.0.255.7 now"),
+                (10**9 + 2,
+                 "call 555-123-4567 or 555.1234.5678; ip 1.2.3.4 twice "
+                 "1.2.3.4; mail a@b.co"),
+                (10**9 + 3, "no pii here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        return pii_stats(d.unionByName(seeded))
+
+    q["pii_stats"] = pii_stats_q
+
     # ---- text analysis ----
     q["langid"] = lambda spark, sf_dir: textstats.langid_scores(
         _t(spark, sf_dir, "documents")
@@ -1278,6 +1300,42 @@ SELECT d.doc_id, coalesce(a.n_lines_kept, 0) AS n_lines_kept,
   coalesce(a.n_lines_dropped, 0) AS n_lines_dropped,
   coalesce(a.text_fp, md5('')) AS text_fp
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+    from text_search_spark.operators.pii import (
+        EMAIL_MASK,
+        EMAIL_RE,
+        IPV4_MASK,
+        IPV4_RE,
+        PHONE_MASK,
+        PHONE_RE,
+    )
+
+    _pii_rows = (
+        "(1000000001, 'contact bob.smith+x@mail-host.org or 10.0.255.7 "
+        "now'), (1000000002, 'call 555-123-4567 or 555.1234.5678; ip "
+        "1.2.3.4 twice 1.2.3.4; mail a@b.co'), (1000000003, "
+        "'no pii here at all')"
+    )
+    o["pii_stats"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {_pii_rows}) AS t(doc_id, text)
+),
+m1 AS (SELECT doc_id, text,
+  regexp_replace(text, '{EMAIL_RE}', '{EMAIL_MASK}', 'g') AS t1
+  FROM corpus),
+m2 AS (SELECT doc_id, text, t1,
+  regexp_replace(t1, '{IPV4_RE}', '{IPV4_MASK}', 'g') AS t2 FROM m1)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER)
+    AS n_emails,
+  CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS INTEGER)
+    AS n_phones,
+  md5(regexp_replace(t2, '{PHONE_RE}', '{PHONE_MASK}', 'g'))
+    AS masked_fp
+FROM m2
 """
 
     o["token_counts"] = f"""

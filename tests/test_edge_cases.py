@@ -157,3 +157,21 @@ def test_dedup_lines_cross_doc(spark):
     assert out[2].text_fp == hashlib.md5(b"unique b").hexdigest()
     assert (out[3].n_lines_kept, out[3].n_lines_dropped) == (0, 0)
     assert out[3].text_fp == hashlib.md5(b"").hexdigest()
+
+
+def test_pii_masking_semantics(spark):
+    from text_search_spark.operators.pii import pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@c-d.org and x@y.io, ip 192.168.0.1, "
+                "tel 555-123-4567"),
+            (2, "vd 999.999.999.999 still matches the simple ipv4 shape"),
+            (3, "not-an-email @nope, 1.2.3 too short, 12-34-5678 no"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_stats(df).collect()}
+    assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (2, 1, 1)
+    assert out[2].n_ipv4 == 1  # documented: shape-match, not range-valid
+    assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 0)

@@ -146,3 +146,37 @@ def test_spill_e2e_build_identical(spark, tmp_path, monkeypatch):
     ra = sorted(map(tuple, bm25_topk_df(spark, ix_a, specs, k=5).collect()))
     rb = sorted(map(tuple, bm25_topk_df(spark, ix_b, specs, k=5).collect()))
     assert ra == rb
+
+
+def test_spill_property_random_groups():
+    """Property check: random group sizes / batch slicing / thresholds —
+    spill output must equal the in-memory vectorized path exactly."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n_groups = rng.randrange(1, 5)
+        groups = [
+            (rng.randrange(-10**6, 10**6), rng.randrange(1, 400))
+            for _ in range(n_groups)
+        ]
+        # distinct term_ids (group key collisions would merge groups)
+        if len({t for t, _ in groups}) != n_groups:
+            continue
+        batch_rows = rng.choice([1, 3, 8, 64])
+        chunk_rows = rng.choice([4, 16, 128])
+        spill_rows = rng.choice([8, 32, 10**9])
+        batches = _make_batches(groups, batch_rows=batch_rows)
+        base = _collect(
+            B._segment_builder(7.5, 8, 1, spill_rows=10**9,
+                               chunk_rows=chunk_rows),
+            batches,
+        )
+        spill = _collect(
+            B._segment_builder(7.5, 8, 1, spill_rows=spill_rows,
+                               chunk_rows=chunk_rows),
+            batches,
+        )
+        assert base == spill, (
+            trial, groups, batch_rows, chunk_rows, spill_rows)
+        assert len(base) == n_groups
