@@ -780,7 +780,12 @@ def _segment_builder(
 
         def open_spool(tbl: "pa.Table"):
             nonlocal spool
-            fd, path = tempfile.mkstemp(suffix=".spool.arrow")
+            # spill beside Spark's shuffle scratch (the executor's fast
+            # local disks) when configured; tempfile default otherwise
+            local = os.environ.get("SPARK_LOCAL_DIRS", "").split(",")[0]
+            fd, path = tempfile.mkstemp(
+                suffix=".spool.arrow", dir=local or None
+            )
             os.close(fd)
             sink = pa.OSFile(path, "wb")
             writer = pa.ipc.new_stream(sink, tbl.schema)
