@@ -198,6 +198,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- BM25 through the real index engine (SURVEY §2.3 J1/J3, §2.5 T3)
     q["bm25_single"] = _bm25_engine_query("single", 5)
+
+    def bm25_after_merge(spark, sf_dir):
+        # merge/compaction pinned through the driver gate: halve the
+        # shard count (hierarchical segment merge, index/merge.py) and
+        # answer the SAME single-term workload — results must be rank-
+        # and score-identical to the SQL oracle (a doc's postings for a
+        # term live in one shard; the merge concatenates doc-disjoint
+        # runs, so per-doc float summation order is unchanged)
+        import shutil
+
+        from text_search_spark.index.merge import merge_shards
+
+        ix = _ensure_index(spark, sf_dir)
+        merged = ix + "_m2"
+        man = ixfmt.load_manifest(merged)
+        if (
+            man is None
+            or not man.complete
+            or man.format_version != ixfmt.FORMAT_VERSION
+        ):
+            shutil.rmtree(merged, ignore_errors=True)
+            merge_shards(spark, ix, merged, factor=2)
+        terms = _top_terms(spark, merged, 5)
+        specs = [QuerySpec(t, [t], "or") for t in terms]
+        out = bm25_topk_df(spark, merged, specs, k=10)
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score_r"),
+        )
+
+    q["bm25_after_merge"] = bm25_after_merge
     q["bm25_and2"] = _bm25_engine_query("and", 2)
     q["bm25_or2"] = _bm25_engine_query("or", 2)
     q["bm25_near2"] = _bm25_engine_query("near", 2)
@@ -1035,6 +1068,10 @@ ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
 SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_r
 FROM ranked WHERE rank <= 10
 """
+
+    # merge/compaction invariance: the merged index must answer the same
+    # workload identically, so the oracle is bm25_single's verbatim
+    o["bm25_after_merge"] = o["bm25_single"]
 
     # 2-term AND / OR: query_id literal assembled like the engine's
     _two_terms = "(SELECT term FROM qterms WHERE r <= 2)"
