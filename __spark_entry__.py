@@ -231,6 +231,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_after_merge"] = bm25_after_merge
+
+    def bm25_incremental(spark, sf_dir):
+        # the streaming append path pinned through the driver gate: the
+        # corpus arrives as TWO micro-batches through the foreachBatch
+        # body (streaming/incremental._append_batch — same code the
+        # Structured Streaming query runs), term_stats rebuilt, then the
+        # same single-term workload — must equal the batch-built oracle
+        # exactly (scoring stats come from the final manifest; segments
+        # append per batch and the scorer merges rows per (term, shard))
+        import shutil
+
+        from text_search_spark.streaming.incremental import (
+            _append_batch,
+            rebuild_term_stats,
+        )
+
+        d = _index_dir_for(sf_dir) + "_inc"
+        man = ixfmt.load_manifest(d)
+        if (
+            man is None
+            or not man.complete
+            or man.format_version != ixfmt.FORMAT_VERSION
+            or not man.stages.get("term_stats")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+            docs = prepare_corpus(
+                _t(spark, sf_dir, "documents"), doc_id_col="doc_id"
+            )
+            half = docs.where(F.col("doc_id") % 2 == 0)
+            rest = docs.where(F.col("doc_id") % 2 == 1)
+            _append_batch(spark, half, d, 0)
+            _append_batch(spark, rest, d, 1)
+            rebuild_term_stats(spark, d)
+        terms = _top_terms(spark, d, 5)
+        specs = [QuerySpec(t, [t], "or") for t in terms]
+        out = bm25_topk_df(spark, d, specs, k=10)
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score_r"),
+        )
+
+    q["bm25_incremental"] = bm25_incremental
     q["bm25_and2"] = _bm25_engine_query("and", 2)
     q["bm25_or2"] = _bm25_engine_query("or", 2)
     q["bm25_near2"] = _bm25_engine_query("near", 2)
@@ -1072,6 +1116,10 @@ FROM ranked WHERE rank <= 10
     # merge/compaction invariance: the merged index must answer the same
     # workload identically, so the oracle is bm25_single's verbatim
     o["bm25_after_merge"] = o["bm25_single"]
+
+    # incremental-append invariance: two micro-batch appends must answer
+    # the same workload identically to a batch build
+    o["bm25_incremental"] = o["bm25_single"]
 
     # 2-term AND / OR: query_id literal assembled like the engine's
     _two_terms = "(SELECT term FROM qterms WHERE r <= 2)"
