@@ -275,6 +275,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_incremental"] = bm25_incremental
+
+    def bm25_spilled(spark, sf_dir):
+        # the defensive spill path pinned through the driver gate: build
+        # with tiny chunk/spill thresholds so common-term (term, shard)
+        # groups take the spool -> streaming-block-encode route
+        # (index/build._encode_group_streaming), then answer the same
+        # workload — must be byte-for-byte the oracle's answer
+        import shutil
+
+        import text_search_spark.index.build as B
+
+        d = _index_dir_for(sf_dir) + "_spill"
+        man = ixfmt.load_manifest(d)
+        if (
+            man is None
+            or not man.complete
+            or man.format_version != ixfmt.FORMAT_VERSION
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+            corpus = prepare_corpus(
+                _t(spark, sf_dir, "documents"), doc_id_col="doc_id"
+            )
+            old = (B._CHUNK_ROWS, B._SPILL_GROUP_ROWS)
+            B._CHUNK_ROWS, B._SPILL_GROUP_ROWS = 64, 8
+            try:
+                build_index(
+                    spark, corpus, d, n_buckets=8, n_shards=4,
+                    bucket_groups=2,
+                )
+            finally:
+                B._CHUNK_ROWS, B._SPILL_GROUP_ROWS = old
+        terms = _top_terms(spark, d, 5)
+        specs = [QuerySpec(t, [t], "or") for t in terms]
+        out = bm25_topk_df(spark, d, specs, k=10)
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score_r"),
+        )
+
+    q["bm25_spilled"] = bm25_spilled
     q["bm25_and2"] = _bm25_engine_query("and", 2)
     q["bm25_or2"] = _bm25_engine_query("or", 2)
     q["bm25_near2"] = _bm25_engine_query("near", 2)
@@ -1120,6 +1162,10 @@ FROM ranked WHERE rank <= 10
     # incremental-append invariance: two micro-batch appends must answer
     # the same workload identically to a batch build
     o["bm25_incremental"] = o["bm25_single"]
+
+    # spill invariance: the spooled streaming-encode build is
+    # byte-identical, so the same workload has the same answer
+    o["bm25_spilled"] = o["bm25_single"]
 
     # 2-term AND / OR: query_id literal assembled like the engine's
     _two_terms = "(SELECT term FROM qterms WHERE r <= 2)"
