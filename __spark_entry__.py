@@ -199,13 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- BM25 through the real index engine (SURVEY §2.3 J1/J3, §2.5 T3)
     q["bm25_single"] = _bm25_engine_query("single", 5)
 
-    def bm25_after_merge(spark, sf_dir):
-        # merge/compaction pinned through the driver gate: halve the
-        # shard count (hierarchical segment merge, index/merge.py) and
-        # answer the SAME single-term workload — results must be rank-
-        # and score-identical to the SQL oracle (a doc's postings for a
-        # term live in one shard; the merge concatenates doc-disjoint
-        # runs, so per-doc float summation order is unchanged)
+    def _ensure_merged(spark, sf_dir):
         import shutil
 
         from text_search_spark.index.merge import merge_shards
@@ -220,6 +214,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ):
             shutil.rmtree(merged, ignore_errors=True)
             merge_shards(spark, ix, merged, factor=2)
+        return merged
+
+    def bm25_after_merge(spark, sf_dir):
+        # merge/compaction pinned through the driver gate: halve the
+        # shard count (hierarchical segment merge, index/merge.py) and
+        # answer the SAME single-term workload — results must be rank-
+        # and score-identical to the SQL oracle (a doc's postings for a
+        # term live in one shard; the merge concatenates doc-disjoint
+        # runs, so per-doc float summation order is unchanged)
+        merged = _ensure_merged(spark, sf_dir)
         terms = _top_terms(spark, merged, 5)
         specs = [QuerySpec(t, [t], "or") for t in terms]
         out = bm25_topk_df(spark, merged, specs, k=10)
@@ -231,6 +235,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_after_merge"] = bm25_after_merge
+
+    def bm25_near_after_merge(spark, sf_dir):
+        # positions sidecar across the shard merge: NEAR/6 on the MERGED
+        # index must match the oracle — the merge concatenates
+        # doc-disjoint positions payloads per (term, new_shard) and
+        # rewrites block directories; a single byte slip anywhere breaks
+        # proximity matching
+        merged = _ensure_merged(spark, sf_dir)
+        terms = _top_terms(spark, merged, 2)
+        specs = [
+            QuerySpec(f"near:{'+'.join(terms)}", terms, "near", window=6)
+        ]
+        out = bm25_topk_df(spark, merged, specs, k=10)
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score_r"),
+        )
+
+    q["bm25_near_after_merge"] = bm25_near_after_merge
 
     def bm25_incremental(spark, sf_dir):
         # the streaming append path pinned through the driver gate: the
@@ -1167,6 +1192,9 @@ FROM ranked WHERE rank <= 10
     # byte-identical, so the same workload has the same answer
     o["bm25_spilled"] = o["bm25_single"]
 
+    # positions survive the merge byte-exactly -> same NEAR answers
+
+
     # 2-term AND / OR: query_id literal assembled like the engine's
     _two_terms = "(SELECT term FROM qterms WHERE r <= 2)"
     _qid = (
@@ -1214,6 +1242,9 @@ ranked AS (SELECT (SELECT 'near:' || string_agg(term, '+' ORDER BY r)
 SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_r
 FROM ranked WHERE rank <= 10
 """
+
+    # positions survive the merge byte-exactly -> same NEAR answers
+    o["bm25_near_after_merge"] = o["bm25_near2"]
 
     o["top_bigram_matches"] = f"""
 WITH {_TOKS},
