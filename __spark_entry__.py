@@ -162,14 +162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tokenize_explode"] = tokenize_explode
 
-    def doc_lengths(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents")
-        return d.select(
-            "doc_id", F.size(spark_tokens(F.col("text"))).alias("doc_len")
-        )
-
-    q["doc_lengths"] = doc_lengths
-
     def term_stats(spark, sf_dir):
         toks = tokenize_explode(spark, sf_dir)
         return (
@@ -452,15 +444,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_multiassign"] = ann_ivf_multiassign
 
     def ann_ivf_kmeans(spark, sf_dir):
-        # trained spherical-k-means quantizer (seeded MLlib) — training is
-        # not SQL-expressible, so this is a rows-only driver check; recall
-        # quality is pinned by tests/test_ann_recall.py
+        # TRAINED quantizer, fully driver-gated: deterministic
+        # distributed Lloyd's spherical k-means (2 rounds, centroids
+        # rounded each round) — the DuckDB oracle unrolls the identical
+        # training, so the whole trained path (init -> assign -> centroid
+        # update -> probe -> top-k) is hash-checked, not rows-only. The
+        # seeded MLlib variant (quantizer="kmeans") stays recall-pinned
+        # in tests/test_ann_recall.py.
         e = _t(spark, sf_dir, "embeddings")
         qs = e.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
         return ann.ivf_topk(
-            e, qs, k=5, n_cells=16, nprobe=4, quantizer="kmeans"
+            e, qs, k=5, n_cells=16, nprobe=4, quantizer="lloyd"
         )
 
     q["ann_ivf_kmeans"] = ann_ivf_kmeans
@@ -507,24 +503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_stats"] = pii_stats_q
 
-    # ---- text analysis ----
-    q["langid"] = lambda spark, sf_dir: textstats.langid_scores(
-        _t(spark, sf_dir, "documents")
-    )
-    q["quality"] = lambda spark, sf_dir: textstats.quality_stats(
-        _t(spark, sf_dir, "documents")
-    )
-    q["token_counts"] = lambda spark, sf_dir: textstats.token_counts(
-        _t(spark, sf_dir, "documents")
-    )
-    q["fingerprint"] = lambda spark, sf_dir: textstats.doc_fingerprint(
-        _t(spark, sf_dir, "documents")
-    )
+    # ---- text analysis: the fused single-scan profile (token counts +
+    # langid heuristic + quality + fingerprint + BPE counts + doc_len in
+    # ONE select, zero shuffles — each family stays importable alone) ----
+    def textstats_profile(spark, sf_dir):
+        return textstats.profile(_t(spark, sf_dir, "documents"))
 
-    def bpe_tokens(spark, sf_dir):
-        return textstats.bpe_token_counts(_t(spark, sf_dir, "documents"))
-
-    q["bpe_tokens"] = bpe_tokens
+    q["textstats_profile"] = textstats_profile
 
     # ---- chunk split/merge round trip (SURVEY §2.3 J7, §2.8) ----
     def chunk_roundtrip(spark, sf_dir):
@@ -556,18 +541,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- windowed / interval ops over events (SURVEY §2.4 A4, §2.3 J6) --
     def events_window(spark, sf_dir):
+        # A4 sliding window + A3 running prefix sum in one pass (both
+        # ride the SAME partitionBy(user_id) sort — one shuffle)
         e = _t(spark, sf_dir, "events")
-        w = (
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(-3, 3)
-        )
+        base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        dec = F.col("value").cast("decimal(18,6)")
         return e.select(
             "event_id",
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .over(w)
+            F.sum(dec)
+            .over(base.rowsBetween(-3, 3))
             .cast("double")
             .alias("win_sum"),
+            F.sum(dec)
+            .over(
+                base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("double")
+            .alias("cum_value"),
         )
 
     q["events_window"] = events_window
@@ -692,24 +682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["filtered_postings"] = filtered_postings
 
-    def events_cumsum(spark, sf_dir):
-        # A3: per-user running sum (prefix sums for O(1) range stats)
-        e = _t(spark, sf_dir, "events")
-        w = (
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return e.select(
-            "event_id",
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .over(w)
-            .cast("double")
-            .alias("cum_value"),
-        )
-
-    q["events_cumsum"] = events_cumsum
-
     def argmax_doc(spark, sf_dir):
         # T6 candidate-range argmax analog: per lang, doc with max n_chars
         d = _t(spark, sf_dir, "documents")
@@ -724,7 +696,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["argmax_doc"] = argmax_doc
 
     def embedding_dups(spark, sf_dir):
-        # embedding-cosine near-dup pairs (threshold on rounded cosine)
+        # embedding-cosine near-dup pairs, BOTH paths in one gated entry:
+        # method='brute' is the all-pairs crossJoin demo baseline
+        # (labeled small-scale only), method='lsh' is the bucketed scale
+        # path (hyperplane-sign equi-join, NO CartesianProduct — plan
+        # pinned by tests/test_plans.py)
         e = _t(spark, sf_dir, "embeddings")
         a = e.select(
             F.col("vec_id").alias("id_a"),
@@ -745,20 +721,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
                                 F.lit(0.0), lambda acc, x: acc + x))
         cos = F.round(dot / (na * nb), 4)
-        return (
+        brute = (
             j.select("id_a", "id_b", cos.alias("cos"))
             .where(F.col("cos") >= 0.5)
+            .withColumn("method", F.lit("brute"))
         )
+        lsh = ann.lsh_dup_pairs(e, threshold=0.3).withColumn(
+            "method", F.lit("lsh")
+        )
+        return brute.unionByName(lsh)
 
     q["embedding_dups"] = embedding_dups
-
-    def embedding_dups_lsh(spark, sf_dir):
-        # bucketed near-dup pairs: NO CartesianProduct in the plan (the
-        # brute-force embedding_dups entry stays as the demo baseline)
-        e = _t(spark, sf_dir, "embeddings")
-        return ann.lsh_dup_pairs(e, threshold=0.3)
-
-    q["embedding_dups_lsh"] = embedding_dups_lsh
 
     def interval_select(spark, sf_dir):
         # J6 is_overlap greedy suppression per user (order-dependent ->
@@ -1082,59 +1055,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["transcript_ingest"] = transcript_ingest
 
-    # ---- reference-kernel demos (non-SQL; golden-pinned in pytest) ----
-    def kernel_suffix_array(spark, sf_dir):
-        from text_search_spark.kernels import create_suffix_array
-
-        sa = create_suffix_array(np.frombuffer(b"banana", dtype=np.int8))
-        return spark.createDataFrame(
-            [(i, int(v)) for i, v in enumerate(sa)], "rank int, sa_pos int"
-        )
-
-    q["kernel_suffix_array"] = kernel_suffix_array
-
-    def kernel_close_matches(spark, sf_dir):
+    # ---- reference-kernel goldens, one composite entry (J1/J2/J4 + the
+    # suffix array): each kernel runs live on the reference's own test
+    # vectors and its rows are tagged with a `kernel` column; the oracle
+    # is the matching literal VALUES table (goldens independently
+    # re-derived in tests/test_kernels.py). Unused slots use sentinels
+    # (-1 / '') rather than NULL so the driver's canonicalizer never
+    # sees missing values. ----
+    def kernel_golden(spark, sf_dir):
         from text_search_spark.kernels import (
             create_suffix_array,
             find_close_matches,
+            get_longest_increasing_pairs,
+            levenshtein_distance,
         )
 
+        rows = []
+        sa = create_suffix_array(np.frombuffer(b"banana", dtype=np.int8))
+        rows += [("sa", i, int(v), -1, -1, "") for i, v in enumerate(sa)]
         texts = "hellohallo" + "iholloyou" + "youhellome"
-        sa = create_suffix_array(np.frombuffer(texts.encode(), dtype=np.int8))
-        cm = find_close_matches(sa, 10, 2)
-        return spark.createDataFrame(
-            [(i, int(r[0]), int(r[1])) for i, r in enumerate(cm)],
-            "qpos int, before int, after int",
+        cm = find_close_matches(
+            create_suffix_array(np.frombuffer(texts.encode(), dtype=np.int8)),
+            10,
+            2,
         )
-
-    q["kernel_close_matches"] = kernel_close_matches
-
-    def kernel_levenshtein(spark, sf_dir):
-        from text_search_spark.kernels import levenshtein_distance
-
+        rows += [
+            ("cm", i, int(r[0]), int(r[1]), -1, "") for i, r in enumerate(cm)
+        ]
         dist, aligns = levenshtein_distance(
             np.array([1, 2, 3, 4]), np.array([1, 5, 3, 4, 6, 7, 1, 2, 4])
         )
-        return spark.createDataFrame(
-            [(dist, s, e, a) for (s, e, a) in aligns],
-            "distance int, start int, end int, align string",
-        )
-
-    q["kernel_levenshtein"] = kernel_levenshtein
-
-    def kernel_lis(spark, sf_dir):
-        from text_search_spark.kernels import get_longest_increasing_pairs
-
+        rows += [
+            ("lev", i, int(dist), int(s), int(e), a)
+            for i, (s, e, a) in enumerate(aligns)
+        ]
         pairs = get_longest_increasing_pairs(
             [0, 1, 1, 2, 2, 3, 4, 5, 6], [9, 7, 8, 9, 6, 7, 10, 12, 8]
         )
+        rows += [
+            ("lis", i, int(a), int(b), -1, "")
+            for i, (a, b) in enumerate(pairs)
+        ]
         return spark.createDataFrame(
-            [(int(a), int(b)) for a, b in pairs], "i int, j int"
+            rows, "kernel string, idx int, a int, b int, c int, s string"
         )
 
-    q["kernel_lis"] = kernel_lis
+    q["kernel_golden"] = kernel_golden
 
-    return q
+    # registration census == the driver's checked set: exactly these
+    # names, in this order, §2-critical entries first (round-3 verdict:
+    # entries past the driver's 50-entry window go unchecked)
+    order = [
+        "tokenize_explode", "term_stats", "postings",
+        "bm25_single", "bm25_after_merge", "bm25_near_after_merge",
+        "bm25_incremental", "bm25_spilled", "bm25_and2", "bm25_or2",
+        "bm25_near2",
+        "transcript_ingest", "query_segments", "split_segments_demo",
+        "subtitle_gate", "overlap_metric", "kernel_golden",
+        "align_spans_demo", "align_long_query", "interval_select",
+        "interval_overlap", "chunk_roundtrip", "snippets_demo",
+        "html_extract",
+        "textstats_profile", "repetition_stats", "top_bigram_matches",
+        "pii_stats",
+        "dedup_exact", "dedup_lines", "minhash_sigs", "lsh_pairs",
+        "lsh_pairs_shingled", "simhash", "ngram_jaccard",
+        "embedding_knn", "embedding_dups", "ann_lsh_topk", "ann_ivf_topk",
+        "ann_ivf_multiassign", "ann_ivf_kmeans",
+        "multimodal_features", "corpus_union", "filtered_postings",
+        "events_window", "events_tumbling_window", "argmax_doc",
+        "tpch_q1", "tpch_q3",
+    ]
+    assert set(order) == set(q), (
+        sorted(set(q) - set(order)), sorted(set(order) - set(q)))
+    return {k: q[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1143,12 +1136,6 @@ def oracle_sql() -> dict[str, str]:
     o["tokenize_explode"] = (
         f"WITH {_TOKS} SELECT doc_id, CAST(pos AS INTEGER) AS pos, term "
         "FROM toks"
-    )
-
-    o["doc_lengths"] = (
-        f"WITH {_TOKS}, dl AS (SELECT doc_id, count(*) AS doc_len FROM toks "
-        "GROUP BY 1) SELECT d.doc_id, CAST(coalesce(dl.doc_len, 0) AS INTEGER) AS doc_len "
-        "FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"
     )
 
     o["term_stats"] = (
@@ -1370,44 +1357,53 @@ SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
             f"coalesce(sum(CASE WHEN term IN ({markers}) THEN 1 ELSE 0 END), 0)"
             f" AS {lang}_cnt"
         )
-    pred_chain = []
-    # replicate the right-fold tie-break: first language in LANG_ORDER wins
-    o["langid"] = f"""
-WITH {_TOKS},
-cnts AS (SELECT doc_id, {", ".join(lang_cnts)} FROM toks GROUP BY doc_id),
-fullc AS (SELECT d.doc_id,
-  CAST(coalesce(c.en_cnt, 0) AS INTEGER) AS en_cnt,
-  CAST(coalesce(c.de_cnt, 0) AS INTEGER) AS de_cnt,
-  CAST(coalesce(c.fr_cnt, 0) AS INTEGER) AS fr_cnt,
-  CAST(coalesce(c.es_cnt, 0) AS INTEGER) AS es_cnt
-  FROM documents d LEFT JOIN cnts c ON d.doc_id = c.doc_id)
-SELECT doc_id, en_cnt, de_cnt, fr_cnt, es_cnt,
-  CASE WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt AND en_cnt >= es_cnt
-       THEN 'en'
-       WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt THEN 'de'
-       WHEN fr_cnt >= es_cnt THEN 'fr'
-       ELSE 'es' END AS pred_lang
-FROM fullc
-"""
-
     stop_list = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)
-    o["quality"] = f"""
+    # one combined per-doc profile (token counts + quality + langid +
+    # fingerprint + BPE counts); tie-break replicates the right-fold:
+    # first language in LANG_ORDER wins
+    o["textstats_profile"] = f"""
 WITH {_TOKS},
 agg AS (SELECT doc_id, count(*) AS n_tokens,
   sum(length(term)) AS total_len,
   sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop,
-  count(DISTINCT term) AS n_distinct
-  FROM toks GROUP BY doc_id)
-SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+  count(DISTINCT term) AS n_distinct,
+  {", ".join(lang_cnts)}
+  FROM toks GROUP BY doc_id),
+joined AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS norm
+           FROM toks GROUP BY doc_id),
+sh3 AS (SELECT a.doc_id, md5(a.term || ' ' || b.term || ' ' || c.term) AS shh
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+minsh AS (SELECT doc_id, min(shh) AS min_shingle FROM sh3 GROUP BY doc_id),
+fullc AS (SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
   CAST(coalesce(a.n_tokens, 0) AS INTEGER) AS n_tokens,
+  CAST(coalesce(a.n_distinct, 0) AS INTEGER) AS n_distinct,
   CASE WHEN coalesce(a.n_tokens, 0) > 0
        THEN round(a.total_len / a.n_tokens, 6) ELSE 0.0 END AS avg_token_len,
   CASE WHEN coalesce(a.n_tokens, 0) > 0
        THEN round(a.n_stop / a.n_tokens, 6) ELSE 0.0 END AS stopword_ratio,
   CASE WHEN coalesce(a.n_tokens, 0) > 0
        THEN round(a.n_distinct / a.n_tokens, 6) ELSE 0.0 END
-       AS distinct_ratio
-FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       AS distinct_ratio,
+  CAST(coalesce(a.en_cnt, 0) AS INTEGER) AS en_cnt,
+  CAST(coalesce(a.de_cnt, 0) AS INTEGER) AS de_cnt,
+  CAST(coalesce(a.fr_cnt, 0) AS INTEGER) AS fr_cnt,
+  CAST(coalesce(a.es_cnt, 0) AS INTEGER) AS es_cnt,
+  md5(coalesce(j.norm, '')) AS fp,
+  m.min_shingle,
+  CAST(length(regexp_extract_all(d.text,
+    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS INTEGER) AS n_bpe_tokens
+  FROM documents d
+  LEFT JOIN agg a ON d.doc_id = a.doc_id
+  LEFT JOIN joined j ON d.doc_id = j.doc_id
+  LEFT JOIN minsh m ON d.doc_id = m.doc_id)
+SELECT *, CASE
+  WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt AND en_cnt >= es_cnt THEN 'en'
+  WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt THEN 'de'
+  WHEN fr_cnt >= es_cnt THEN 'fr'
+  ELSE 'es' END AS pred_lang
+FROM fullc
 """
 
     o["repetition_stats"] = f"""
@@ -1500,37 +1496,6 @@ SELECT doc_id,
 FROM m2
 """
 
-    o["token_counts"] = f"""
-WITH {_TOKS},
-agg AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term)
-        AS n_distinct FROM toks GROUP BY doc_id)
-SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS INTEGER) AS n_tokens,
-  CAST(coalesce(a.n_distinct, 0) AS INTEGER) AS n_distinct
-FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-"""
-
-    o["fingerprint"] = f"""
-WITH {_TOKS},
-joined AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS norm
-           FROM toks GROUP BY doc_id),
-sh3 AS (SELECT a.doc_id, md5(a.term || ' ' || b.term || ' ' || c.term) AS shh
-  FROM toks a
-  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-minsh AS (SELECT doc_id, min(shh) AS min_shingle FROM sh3 GROUP BY doc_id)
-SELECT d.doc_id, md5(coalesce(j.norm, '')) AS fp, m.min_shingle
-FROM documents d
-LEFT JOIN joined j ON d.doc_id = j.doc_id
-LEFT JOIN minsh m ON d.doc_id = m.doc_id
-"""
-
-    o["bpe_tokens"] = """
-SELECT doc_id, CAST(length(regexp_extract_all(text,
-  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS INTEGER)
-  AS n_bpe_tokens
-FROM documents
-"""
-
     o["chunk_roundtrip"] = f"""
 WITH {_TOKS},
 joined AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS norm
@@ -1540,9 +1505,14 @@ FROM documents d LEFT JOIN joined j ON d.doc_id = j.doc_id
 """
 
     o["events_window"] = """
-SELECT event_id, CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
-  PARTITION BY user_id ORDER BY ts, event_id
-  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS win_sum
+SELECT event_id,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS win_sum,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS cum_value
 FROM events
 """
 
@@ -1591,31 +1561,11 @@ FROM toks WHERE term NOT IN ({_stop})
 GROUP BY term, doc_id
 """
 
-    o["events_cumsum"] = """
-SELECT event_id, CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
-  PARTITION BY user_id ORDER BY ts, event_id
-  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
-FROM events
-"""
-
     o["argmax_doc"] = """
 SELECT lang, doc_id AS best_doc, CAST(n_chars AS BIGINT) AS max_chars
 FROM (SELECT lang, doc_id, n_chars, row_number() OVER (
         PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS r
       FROM documents) WHERE r = 1
-"""
-
-    o["embedding_dups"] = """
-WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-            generate_subscripts(embedding, 1) AS i FROM embeddings),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
-dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
-  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
-cos AS (SELECT dots.id_a, dots.id_b,
-  round(dot / (na.nrm * nb.nrm), 4) AS cos
-  FROM dots JOIN norms na ON na.vec_id = dots.id_a
-  JOIN norms nb ON nb.vec_id = dots.id_b)
-SELECT id_a, id_b, cos FROM cos WHERE cos >= 0.5
 """
 
     o["tpch_q1"] = """
@@ -1676,34 +1626,36 @@ FROM documents WHERE doc_id < 5
         + ") AS t(media_id, feat_dim, feature_fp)"
     )
 
-    # ---- reference-kernel goldens as literal VALUES (the vectors come
-    # from the reference's own tests; see tests/test_kernels.py) ----
-    sa_rows = ", ".join(
-        f"({i}, {v})" for i, v in enumerate([1, 3, 5, 0, 2, 4, 6])
-    )
-    o["kernel_suffix_array"] = (
-        f"SELECT * FROM (VALUES {sa_rows}) AS t(rank, sa_pos)"
-    )
-
-    cm_rows = ", ".join(
-        f"({i}, {b}, {a})"
+    # ---- reference-kernel goldens as one literal VALUES table (the
+    # vectors come from the reference's own tests; independently
+    # re-derived in tests/test_kernels.py). Sentinels -1 / '' fill the
+    # slots a kernel doesn't use. ----
+    kg_rows = []
+    kg_rows += [
+        f"('sa', {i}, {v}, -1, -1, '')"
+        for i, v in enumerate([1, 3, 5, 0, 2, 4, 6])
+    ]
+    kg_rows += [
+        f"('cm', {i}, {b}, {a}, -1, '')"
         for i, b, a in [
             (0, 28, 22), (1, 28, 23), (2, 10, 24), (3, 13, 25), (4, 27, 12),
             (5, 28, 22), (6, 28, 23), (7, 10, 24), (8, 13, 25), (9, 27, 12),
         ]
-    )
-    o["kernel_close_matches"] = (
-        f"SELECT * FROM (VALUES {cm_rows}) AS t(qpos, before, after)"
-    )
-
-    o["kernel_levenshtein"] = (
-        "SELECT * FROM (VALUES (1, 0, 3, 'CSCC'), (1, 6, 8, 'CCIC')) "
-        "AS t(distance, start, \"end\", align)"
-    )
-
-    o["kernel_lis"] = (
-        "SELECT * FROM (VALUES (1, 7), (1, 8), (2, 9), (4, 10), (5, 12)) "
-        "AS t(i, j)"
+    ]
+    kg_rows += [
+        f"('lev', {i}, 1, {s}, {e}, '{a}')"
+        for i, (s, e, a) in enumerate([(0, 3, "CSCC"), (6, 8, "CCIC")])
+    ]
+    kg_rows += [
+        f"('lis', {i}, {a}, {b}, -1, '')"
+        for i, (a, b) in enumerate([(1, 7), (1, 8), (2, 9), (4, 10), (5, 12)])
+    ]
+    o["kernel_golden"] = (
+        "SELECT kernel, CAST(idx AS INTEGER) AS idx, "
+        "CAST(a AS INTEGER) AS a, CAST(b AS INTEGER) AS b, "
+        "CAST(c AS INTEGER) AS c, s FROM (VALUES "
+        + ", ".join(kg_rows)
+        + ") AS t(kernel, idx, a, b, c, s)"
     )
 
     # ---- segmentation: literal oracles from the reference's own outputs
@@ -1887,6 +1839,70 @@ ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
 SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
 """
 
+    # ---- ann_ivf_kmeans: the deterministic Lloyd's training unrolled in
+    # SQL — init = 16 lowest-id unit vectors (rounded 6), each iteration
+    # assigns every unit vector to its nearest cell by rounded cosine and
+    # recomputes centroids as rounded component means (empty cells keep
+    # their previous centroid), then the standard IVF probe/top-k runs
+    # against the trained cells ----
+    _lloyd_cents = ["""
+cent0 AS (SELECT c.cell, u2.i, round(u2.u, 6) AS w
+  FROM (SELECT vec_id AS cid,
+          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)) c
+  JOIN un u2 ON u2.vec_id = c.cid)"""]
+    for it in range(2):
+        p, n = f"cent{it}", f"cent{it + 1}"
+        _lloyd_cents.append(f"""
+cn{it} AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM {p} GROUP BY 1),
+cd{it} AS (SELECT u.vec_id, c.cell,
+  round(sum(u.u * c.w) / (uo.un * cn.cn), 4) AS cos
+  FROM un u JOIN {p} c ON c.i = u.i
+  JOIN unorm uo ON uo.vec_id = u.vec_id
+  JOIN cn{it} cn ON cn.cell = c.cell
+  GROUP BY u.vec_id, c.cell, uo.un, cn.cn),
+asg{it} AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number()
+  OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn FROM cd{it})
+  WHERE rn = 1),
+{n} AS (SELECT c0.cell, c0.i, coalesce(round(m.m, 6), c0.w) AS w
+  FROM {p} c0 LEFT JOIN (SELECT a.cell, u.i, avg(u.u) AS m
+    FROM asg{it} a JOIN un u ON u.vec_id = a.vec_id GROUP BY 1, 2) m
+  ON m.cell = c0.cell AND m.i = c0.i)""")
+    _lloyd_sql = ",".join(_lloyd_cents)
+    o["ann_ivf_kmeans"] = f"""
+WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+un AS (SELECT e.vec_id, e.i, e.v / n.nrm AS u
+       FROM ex e JOIN norms n ON n.vec_id = e.vec_id),
+unorm AS (SELECT vec_id, sqrt(sum(u * u)) AS un FROM un GROUP BY 1),
+{_lloyd_sql},
+cnf AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM cent2 GROUP BY 1),
+cdots AS (SELECT a.vec_id, c.cell,
+  round(sum(a.v * c.w) / (na.nrm * cn.cn), 4) AS cos
+  FROM ex a JOIN cent2 c ON c.i = a.i
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN cnf cn ON cn.cell = c.cell
+  GROUP BY a.vec_id, c.cell, na.nrm, cn.cn),
+assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number()
+  OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn FROM cdots)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM (SELECT vec_id, cell,
+  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+  FROM cdots WHERE vec_id < 5) WHERE rn <= 4),
+dots AS (SELECT p.q_id, a.vec_id,
+  round(sum(ea.v * eq.v) / (na.nrm * nq.nrm), 4) AS cos
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.q_id
+  JOIN ex ea ON ea.vec_id = a.vec_id
+  JOIN ex eq ON eq.vec_id = p.q_id AND eq.i = ea.i
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nq ON nq.vec_id = p.q_id
+  GROUP BY 1, 2, na.nrm, nq.nrm),
+ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM dots)
+SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
     # ---- ann_ivf_multiassign: same IVF replica but every vector is
     # assigned to its TOP-2 cells (rn <= 2) and candidate pairs dedupe
     # before the exact dot product (a vector in two probed cells must
@@ -1926,26 +1942,36 @@ ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
 SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
 """
 
-    # ---- embedding_dups_lsh: bucketed near-dup pairs in SQL (same
-    # inline plane literals; pairs form only within equal buckets) ----
-    o["embedding_dups_lsh"] = f"""
+    # ---- embedding_dups: brute all-pairs (threshold 0.5) UNION the
+    # LSH-bucketed pairs (same inline plane literals; pairs form only
+    # within equal buckets, threshold 0.3), tagged by method ----
+    o["embedding_dups"] = f"""
 WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
             generate_subscripts(embedding, 1) AS i FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+bdots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+bcos AS (SELECT bdots.id_a, bdots.id_b,
+  round(dot / (na.nrm * nb.nrm), 4) AS cos
+  FROM bdots JOIN norms na ON na.vec_id = bdots.id_a
+  JOIN norms nb ON nb.vec_id = bdots.id_b),
 planes AS (SELECT * FROM (VALUES {plane_rows}) AS t(p, i, w)),
-dots AS (SELECT e.vec_id, pl.p, sum(e.v * pl.w) AS d
+pdots AS (SELECT e.vec_id, pl.p, sum(e.v * pl.w) AS d
   FROM ex e JOIN planes pl ON pl.i = e.i GROUP BY 1, 2),
 buckets AS (SELECT vec_id,
   sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
-  FROM dots GROUP BY 1),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+  FROM pdots GROUP BY 1),
 pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket
   WHERE a.vec_id < b.vec_id),
-dots2 AS (SELECT p.id_a, p.id_b, sum(x.v * y.v) AS dot
+ldots AS (SELECT p.id_a, p.id_b, sum(x.v * y.v) AS dot
   FROM pairs p JOIN ex x ON x.vec_id = p.id_a
   JOIN ex y ON y.vec_id = p.id_b AND y.i = x.i GROUP BY 1, 2)
-SELECT d.id_a, d.id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
-FROM dots2 d JOIN norms na ON na.vec_id = d.id_a
+SELECT id_a, id_b, cos, 'brute' AS method FROM bcos WHERE cos >= 0.5
+UNION ALL
+SELECT d.id_a, d.id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos,
+  'lsh' AS method
+FROM ldots d JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
 WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3
 """

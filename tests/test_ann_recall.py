@@ -89,6 +89,39 @@ def test_ivf_kmeans_recall_on_clusterable_data(clustered, spark):
     assert r >= 0.9, f"kmeans IVF recall@5 = {r:.3f} < 0.9"
 
 
+def test_ivf_lloyd_recall_on_clusterable_data(clustered, spark):
+    """The deterministic Lloyd quantizer (the driver-gated trained path)
+    reaches the same recall bar as MLlib k-means at a 25% scan
+    fraction."""
+    qs = _queries(clustered)
+    exact = _topk_sets(cosine_topk(clustered, qs, k=5))
+    approx = _topk_sets(
+        ivf_topk(
+            clustered, qs, k=5, n_cells=16, nprobe=4, quantizer="lloyd"
+        )
+    )
+    r = _recall(approx, exact)
+    assert r >= 0.9, f"lloyd IVF recall@5 = {r:.3f} < 0.9"
+
+
+def test_ivf_lloyd_not_worse_than_lowest_id(emb, spark):
+    """Training helps (or at least never hurts) vs the untrained
+    lowest-id quantizer on the hard sf embeddings, same probe budget."""
+    qs = _queries(emb)
+    exact = _topk_sets(cosine_topk(emb, qs, k=5))
+    det = _recall(
+        _topk_sets(ivf_topk(emb, qs, k=5, n_cells=16, nprobe=4)), exact
+    )
+    ll = _recall(
+        _topk_sets(
+            ivf_topk(emb, qs, k=5, n_cells=16, nprobe=4, quantizer="lloyd")
+        ),
+        exact,
+    )
+    assert ll >= det - 0.05, (ll, det)
+    assert ll >= 0.5, ll
+
+
 def test_ivf_kmeans_not_worse_than_lowest_id(emb, spark):
     """On the hard sf0.01 embeddings, same budget: trained >= deterministic
     (within noise), and the absolute recall clears the measured floor."""

@@ -243,6 +243,73 @@ def kmeans_centroids(
     return out
 
 
+def lloyd_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> List[tuple]:
+    """Deterministic distributed spherical k-means (Lloyd's algorithm):
+    init = the n_cells lowest-id vectors unit-normalized, then `iters`
+    rounds of (assign every vector to its nearest cell by ROUNDED cosine,
+    recompute each centroid as the component mean of its members' unit
+    vectors, ROUND to `round_digits`). Rounding at every step makes the
+    whole training replayable bit-for-bit by a SQL engine (the DuckDB
+    oracle unrolls the same iterations), unlike MLlib k-means whose
+    kmeans||-init sampling is engine-internal.
+
+    Distribution shape: each iteration is one scan — per-row JVM argmax
+    against the broadcast centroids, posexplode of the unit components,
+    one map-side-combined avg keyed by (cell, dim) (n_cells*dim rows
+    collected, ~1k). No iteration state lives on executors. Empty cells
+    keep their previous centroid. Output shape = _centroids:
+    [(cell, vec, norm)]."""
+    from pyspark.sql import functions as F
+
+    unit = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: x / _norm(F.col(vec_col).cast("array<double>")),
+    )
+    base = vectors.select(
+        F.col(id_col).alias("id"), unit.alias("u")
+    )
+    init_rows = base.orderBy("id").limit(n_cells).collect()
+    cents = []
+    for cell, r in enumerate(init_rows):
+        v = [round(float(x), round_digits) for x in r.u]
+        arr = np.asarray(v, dtype=np.float64)
+        cents.append((cell, v, float(np.sqrt((arr * arr).sum()))))
+    for _ in range(iters):
+        assigned = base.withColumn(
+            "best", F.array_max(_cell_scores(F.col("u"), cents))
+        ).select((-F.col("best.nc")).alias("cell"), "u")
+        means = (
+            assigned.select("cell", F.posexplode("u").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for row in means:
+            by_cell.setdefault(row.cell, {})[row.i] = round(
+                float(row.m), round_digits
+            )
+        new_cents = []
+        for cell, old_vec, old_norm in cents:
+            if cell in by_cell:
+                d = by_cell[cell]
+                v = [d[i] for i in range(len(old_vec))]
+                arr = np.asarray(v, dtype=np.float64)
+                nrm = float(np.sqrt((arr * arr).sum()))
+                new_cents.append((cell, v, nrm if nrm > 0 else 1.0))
+            else:
+                new_cents.append((cell, old_vec, old_norm))
+        cents = new_cents
+    return cents
+
+
 def _cell_scores(vec_col, cents: List[tuple], round_digits: int = 4):
     """array<struct<cos, negcell>> of rounded cosines against every
     centroid — a pure per-row JVM expression (no explode, no shuffle)."""
@@ -285,11 +352,15 @@ def ivf_topk(
     boundary-straddling neighbors — storage cost n_assign x). Ties
     broken by (cos desc, vec_id asc) like cosine_topk.
 
-    quantizer: "lowest_id" (deterministic, cross-engine-reproducible —
-    the oracle path) or "kmeans" (seeded spherical MLlib training;
-    tighter cells; recall pinned in tests/test_ann_recall.py)."""
+    quantizer: "lowest_id" (deterministic untrained — the simplest
+    oracle path), "lloyd" (deterministic TRAINED spherical k-means,
+    lloyd_centroids — also fully oracle-replayable, the driver-gated
+    trained path), or "kmeans" (seeded spherical MLlib training; recall
+    pinned in tests/test_ann_recall.py)."""
     if quantizer == "kmeans":
         cents = kmeans_centroids(vectors, n_cells, id_col, vec_col)
+    elif quantizer == "lloyd":
+        cents = lloyd_centroids(vectors, n_cells, id_col=id_col, vec_col=vec_col)
     else:
         cents = _centroids(vectors, n_cells, id_col, vec_col)
     base = vectors.select(

@@ -106,6 +106,76 @@ def doc_fingerprint(
     )
 
 
+def profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full per-document text-analysis profile in ONE scan: every
+    column of token_counts + langid_scores + quality_stats +
+    doc_fingerprint + bpe_token_counts, computed as per-row JVM
+    expressions in a single select — zero shuffles, zero joins. This is
+    the shape a 100 TB profiling pass should take: the five metric
+    families share the tokenization work and ride one scan instead of
+    five (or a 5-way self-join). The individual operators stay available
+    for callers that want one family only.
+
+    Columns: (doc_id, n_chars, n_tokens, n_distinct, avg_token_len,
+    stopword_ratio, distinct_ratio, <lang>_cnt..., pred_lang, fp,
+    min_shingle, n_bpe_tokens)."""
+    toks = spark_tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sh = shingles(toks, 3)
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.when(n_tokens > 0, F.round(total_len / n_tokens, 6))
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        F.when(n_tokens > 0, F.round(n_stop / n_tokens, 6))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+        F.when(
+            n_tokens > 0,
+            F.round(F.size(F.array_distinct(toks)) / n_tokens, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("distinct_ratio"),
+    ]
+    for lang in LANG_ORDER:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+            .alias(f"{lang}_cnt")
+        )
+    cols.extend(
+        [
+            F.md5(F.array_join(toks, " ")).alias("fp"),
+            F.array_min(F.transform(sh, lambda s: F.md5(s))).alias(
+                "min_shingle"
+            ),
+            F.regexp_count(F.col(text_col), F.lit(BPE_RE)).alias(
+                "n_bpe_tokens"
+            ),
+        ]
+    )
+    out = df.select(*cols)
+    pred = F.lit(LANG_ORDER[-1])
+    best = F.col(f"{LANG_ORDER[-1]}_cnt")
+    for lang in reversed(LANG_ORDER[:-1]):
+        c = F.col(f"{lang}_cnt")
+        pred = F.when(c >= best, F.lit(lang)).otherwise(pred)
+        best = F.when(c >= best, c).otherwise(best)
+    return out.withColumn("pred_lang", pred)
+
+
 # BPE-ish segmentation regex: word pieces = runs of letters, runs of
 # digits, or single non-space symbols — the classic pre-tokenizer shape
 # (GPT-2-style coarse split without merges). Portable across Java regex /
