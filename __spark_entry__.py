@@ -511,6 +511,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["textstats_profile"] = textstats_profile
 
+    def langid_ngram_q(spark, sf_dir):
+        # trained char-n-gram linear scorer (deterministic integer
+        # weights checked into the repo; scripts/train_langid.py); the
+        # marker-stopword heuristic stays as the baseline inside
+        # textstats_profile
+        return textstats.langid_ngram(_t(spark, sf_dir, "documents"))
+
+    q["langid_ngram"] = langid_ngram_q
+
     # ---- chunk split/merge round trip (SURVEY §2.3 J7, §2.8) ----
     def chunk_roundtrip(spark, sf_dir):
         from text_search_spark.operators.chunks import (
@@ -1115,8 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_spans_demo", "align_long_query", "interval_select",
         "interval_overlap", "chunk_roundtrip", "snippets_demo",
         "html_extract",
-        "textstats_profile", "repetition_stats", "top_bigram_matches",
-        "pii_stats",
+        "textstats_profile", "langid_ngram", "repetition_stats",
+        "top_bigram_matches", "pii_stats",
         "dedup_exact", "dedup_lines", "minhash_sigs", "lsh_pairs",
         "lsh_pairs_shingled", "simhash", "ngram_jaccard",
         "embedding_knn", "embedding_dups", "ann_lsh_topk", "ann_ivf_topk",
@@ -1494,6 +1503,50 @@ SELECT doc_id,
   md5(regexp_replace(t2, '{PHONE_RE}', '{PHONE_MASK}', 'g'))
     AS masked_fp
 FROM m2
+"""
+
+    # ---- langid_ngram: replay the trained integer-weight scorer — the
+    # weight table inlines as VALUES, features are the same unigram +
+    # trigram substrings of lower(text), sums are exact integers ----
+    _lm = textstats._langid_model()
+    _lm_langs = _lm["langs"]
+
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    _w_rows = ", ".join(
+        "(" + _sq(feat) + ", " + ", ".join(str(int(x)) for x in ws) + ")"
+        for feat, ws in sorted(_lm["weights"].items())
+    )
+    _w_cols = ", ".join(f"w_{lg}" for lg in _lm_langs)
+    _sum_cols = ", ".join(
+        f"CAST(sum(w.w_{lg}) AS BIGINT) AS s_{lg}" for lg in _lm_langs
+    )
+    _full_cols = ", ".join(
+        f"coalesce(sc.s_{lg}, 0) AS s_{lg}" for lg in _lm_langs
+    )
+    _pred_branches = []
+    for i, lg in enumerate(_lm_langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lg} >= s_{other}" for other in _lm_langs[i + 1:]
+        )
+        _pred_branches.append(f"WHEN {conds} THEN '{lg}'")
+    _pred_sql = (
+        "CASE " + " ".join(_pred_branches) + f" ELSE '{_lm_langs[-1]}' END"
+    )
+    o["langid_ngram"] = f"""
+WITH w AS (SELECT * FROM (VALUES {_w_rows}) AS t(feat, {_w_cols})),
+lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+uni AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 1) AS feat
+  FROM lt, LATERAL unnest(range(1, length(t) + 1)) AS r(i)),
+tri AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS feat
+  FROM lt, LATERAL unnest(range(1, greatest(length(t) - 1, 1))) AS r(i)),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM tri),
+sc AS (SELECT f.doc_id, {_sum_cols}
+       FROM feats f JOIN w ON w.feat = f.feat GROUP BY 1),
+fullc AS (SELECT d.doc_id, {_full_cols}
+          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+SELECT *, {_pred_sql} AS pred_lang_ngram FROM fullc
 """
 
     o["chunk_roundtrip"] = f"""

@@ -23,7 +23,9 @@ def main() -> None:
             if "__pycache__" in dirpath:
                 continue
             for f in sorted(files):
-                if not f.endswith(".py"):
+                # .json = model/data artifacts (e.g. langid weights),
+                # read zip-safely via importlib.resources
+                if not f.endswith((".py", ".json")):
                     continue
                 full = os.path.join(dirpath, f)
                 z.write(full, os.path.relpath(full, ROOT))

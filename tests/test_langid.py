@@ -1,0 +1,72 @@
+"""Trained char-n-gram language scorer: weight reproducibility, held-out
+accuracy, and the Spark operator on real multilingual text (incl. CJK
+through the JVM substring path)."""
+
+import json
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from scripts.train_langid import TRAIN_PER, features, train  # noqa: E402
+from text_search_spark.operators.textstats import (  # noqa: E402
+    _langid_model,
+    langid_ngram,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    with open(os.path.join(ROOT, "tests", "data", "langid_fixture.json")) as f:
+        return json.load(f)
+
+
+def test_weights_file_reproducible():
+    """The checked-in weights are exactly what the trainer produces —
+    retraining is deterministic and the repo file is not hand-edited."""
+    assert train() == _langid_model()
+
+
+def _score(model, sent):
+    langs = model["langs"]
+    scores = [0] * len(langs)
+    for t in features(sent):
+        ws = model["weights"].get(t)
+        if ws:
+            for j, w in enumerate(ws):
+                scores[j] += w
+    return langs[max(range(len(langs)), key=lambda j: (scores[j], -j))]
+
+
+def test_heldout_accuracy(fixture):
+    """Eval split (sentences the trainer never saw) >= 0.95 accuracy."""
+    model = _langid_model()
+    ok = tot = 0
+    for lang in model["langs"]:
+        for sent in fixture[lang][TRAIN_PER:]:
+            ok += _score(model, sent) == lang
+            tot += 1
+    assert tot == 60
+    assert ok / tot >= 0.95, f"held-out accuracy {ok}/{tot}"
+
+
+def test_spark_operator_matches_python_scorer(spark, fixture):
+    """The JVM explode/join/sum path reproduces the pure-Python scorer on
+    every held-out sentence — including Chinese text (unicode substr)."""
+    model = _langid_model()
+    rows = []
+    expected = {}
+    i = 0
+    for lang in model["langs"]:
+        for sent in fixture[lang][TRAIN_PER:]:
+            rows.append((i, sent))
+            expected[i] = _score(model, sent)
+            i += 1
+    rows.append((i, ""))  # degenerate: no features -> all-zero -> first lang
+    expected[i] = model["langs"][0]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.pred_lang_ngram for r in langid_ngram(df).collect()}
+    assert out == expected

@@ -106,6 +106,89 @@ def doc_fingerprint(
     )
 
 
+def _langid_model() -> dict:
+    import json
+    from importlib import resources
+
+    # zip-safe (spark-submit --py-files ships the package as a zip)
+    ref = resources.files("text_search_spark") / "data" / "langid_weights.json"
+    return json.loads(ref.read_text())
+
+
+def langid_ngram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Char-n-gram linear language scorer (the fastText-style public
+    recipe, Joulin et al. 2016, arXiv:1607.01759) over deterministic
+    integer weights trained offline by scripts/train_langid.py and
+    checked into the repo: features = every unigram + trigram of
+    lower(text); score(lang) = sum of that language's integer weight
+    over matched feature OCCURRENCES (multinomial naive Bayes);
+    prediction = argmax with ties won by the first language in the
+    model's order. Integer weights make the sums exact in any engine,
+    so the DuckDB oracle replays the scorer verbatim.
+
+    Shape at 100 TB: per-row JVM feature explode, one broadcast join
+    against the ~300-row weight table, one map-side-combined sum keyed
+    by doc — no skew (weights are replicated, docs are the partition
+    key). A hashed-bucket weight table (feature hashing) is the drop-in
+    seam when the vocabulary outgrows a broadcast.
+
+    Columns: (doc_id, s_<lang>..., pred_lang_ngram)."""
+    model = _langid_model()
+    langs = model["langs"]
+    spark = df.sparkSession
+    wrows = [
+        (feat, *[int(x) for x in ws])
+        for feat, ws in sorted(model["weights"].items())
+    ]
+    wdf = spark.createDataFrame(
+        wrows,
+        "feat string, " + ", ".join(f"w_{lg} long" for lg in langs),
+    )
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    empty = F.array().cast("array<string>")
+    uni = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(1))),
+    ).otherwise(empty)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
+        ),
+    ).otherwise(empty)
+    feats = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(uni, tri)).alias("feat"),
+    )
+    scores = (
+        feats.join(F.broadcast(wdf), "feat")
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"w_{lg}").alias(f"s_{lg}") for lg in langs])
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(
+        scores, "doc_id", "left"
+    )
+    out = out.select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"s_{lg}"), F.lit(0).cast("long")).alias(
+                f"s_{lg}"
+            )
+            for lg in langs
+        ],
+    )
+    pred = F.lit(langs[-1])
+    best = F.col(f"s_{langs[-1]}")
+    for lg in reversed(langs[:-1]):
+        c = F.col(f"s_{lg}")
+        pred = F.when(c >= best, F.lit(lg)).otherwise(pred)
+        best = F.when(c >= best, c).otherwise(best)
+    return out.withColumn("pred_lang_ngram", pred)
+
+
 def profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
