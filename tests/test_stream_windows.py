@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from text_search_spark.streaming.windows import (
     dedup_stream,
+    dedup_stream_epoch,
     windowed_event_stats,
 )
 
@@ -152,3 +153,84 @@ def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmp_path):
     )
     ids = sorted(r.doc_id for r in got.collect())
     assert ids == [1, 2, 3, 4]  # each id exactly once across batches
+
+
+def test_dedup_stream_epoch_bounded_state(spark, tmp_path):
+    """The bounded-state variant: (1) re-deliveries inside an epoch are
+    dropped, (2) the same id in a LATER epoch is re-admitted, (3) state
+    for epochs behind the watermark's retention horizon is EVICTED — the
+    state-store row count at the end covers only live epochs, not the
+    stream's whole history."""
+    src = str(tmp_path / "docs_ep")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, text string, ts_s string"
+        ).select(
+            "doc_id", "url", "text",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+        )
+
+    mk(
+        [
+            (1, "u1", "a", "2024-01-01 06:00:00"),
+            (2, "u2", "b", "2024-01-01 06:10:00"),
+            (2, "u2", "b", "2024-01-01 06:20:00"),  # in-batch dup
+        ]
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    time.sleep(1.1)
+    mk(
+        [
+            (2, "u2", "b", "2024-01-01 07:00:00"),  # same-epoch redelivery
+            (2, "u2b", "b2", "2024-01-02 06:00:00"),  # next epoch: readmit
+            (5, "u5", "e", "2024-01-02 06:30:00"),
+        ]
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    time.sleep(1.1)
+    # jump the event clock far ahead: watermark passes day-1 AND day-2
+    # retention horizons (epoch + 2 days at ttl_units=1)
+    mk([(9, "u9", "i", "2024-01-06 12:00:00")]).coalesce(1).write.parquet(
+        os.path.join(src, "b3")
+    )
+    time.sleep(1.1)
+    # one more batch so the advanced watermark actually fires timeouts
+    mk([(10, "u10", "j", "2024-01-06 13:00:00")]).coalesce(1).write.parquet(
+        os.path.join(src, "b4")
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, url string, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        dedup_stream_epoch(stream, n_buckets=4)
+        .writeStream.format("memory")
+        .queryName("deduped_ep")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ep"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("deduped_ep").collect()
+    emitted = sorted((r.doc_id, str(r.epoch)) for r in rows)
+    assert emitted == [
+        (1, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:00:00"),  # once, despite 3 deliveries in epoch
+        (2, "2024-01-02 00:00:00"),  # re-admitted across the boundary
+        (5, "2024-01-02 00:00:00"),
+        (9, "2024-01-06 00:00:00"),
+        (10, "2024-01-06 00:00:00"),
+    ]
+    # eviction: remaining state rows = live (epoch, bucket) groups only.
+    # Day-1 held {1, 2} (2 buckets) and day-2 held {2, 5} (2 buckets);
+    # both epochs are behind the final watermark's horizon, so without
+    # eviction the store would keep >= 6 rows — with it, only day-6's
+    # groups for ids {9, 10} remain.
+    progress = q.lastProgress
+    n_state = progress["stateOperators"][0]["numRowsTotal"]
+    assert n_state == 2, progress["stateOperators"][0]

@@ -128,9 +128,9 @@ def dedup_stream(
     State growth: the per-bucket seen-set grows with distinct ids for the
     stream's lifetime (exact dedup needs it); NoTimeout is deliberate —
     evicting a bucket would re-admit its ids. For bounded-state
-    deployments, partition the stream by id-time (e.g. daily doc_id
-    namespaces) and run one dedup query per epoch, or accept approximate
-    dedup via a bloom/cuckoo state — not implemented here."""
+    deployments use dedup_stream_epoch (exact within an event-time
+    epoch, state evicted when the watermark passes the epoch), or accept
+    approximate dedup via a bloom/cuckoo state — not implemented here."""
     return (
         docs.withColumn(
             "bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
@@ -142,5 +142,116 @@ def dedup_stream(
             stateStructType=_DEDUP_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_EPOCH_OUT_SCHEMA = (
+    "doc_id long, url string, text string, epoch timestamp"
+)
+
+_EPOCH_UNIT_MS = {"hour": 3_600_000, "day": 86_400_000}
+
+
+def _make_dedup_epoch_fn(unit_ms: int, ttl_units: int):
+    """Driver-side factory: unit_ms/ttl ride the UDF closure (worker
+    processes re-import the module, so config must not live in globals
+    that tests monkeypatch)."""
+
+    def fn(
+        key,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:
+            # the watermark passed this (epoch, bucket)'s retention
+            # horizon — drop the whole seen-set. Anything for this epoch
+            # arriving later is either filtered by the watermark or
+            # (worst case) re-admitted once; state is what's bounded.
+            state.remove()
+            yield from ()
+            return
+        epoch_ts, _bucket = key
+        seen = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
+        out = []
+        dirty = False
+        for pdf in pdfs:
+            ids = pdf["doc_id"].to_numpy()
+            if seen.size:
+                idx = np.searchsorted(seen, ids)
+                idx[idx == seen.size] = seen.size - 1
+                dup = seen[idx] == ids
+            else:
+                dup = np.zeros(ids.shape, dtype=bool)
+            fresh = pdf[~dup]
+            fresh = fresh.drop_duplicates(subset=["doc_id"], keep="first")
+            if len(fresh):
+                out.append(fresh)
+                new_ids = np.sort(
+                    fresh["doc_id"].to_numpy().astype(np.int64)
+                )
+                merged = np.empty(seen.size + new_ids.size, dtype=np.int64)
+                pos = np.searchsorted(seen, new_ids)
+                mask = np.ones(merged.size, dtype=bool)
+                mask[pos + np.arange(new_ids.size)] = False
+                merged[~mask] = new_ids
+                merged[mask] = seen
+                seen = merged
+                dirty = True
+        if dirty:
+            state.update((seen.tolist(),))
+        # retention horizon: epoch start + (1 + ttl) units — the epoch's
+        # own span plus ttl units of watermark grace
+        epoch_ms = int(pd.Timestamp(epoch_ts).value // 1_000_000)
+        state.setTimeoutTimestamp(epoch_ms + (1 + ttl_units) * unit_ms)
+        for pdf in out:
+            yield pdf[["doc_id", "url", "text", "epoch"]]
+
+    return fn
+
+
+def dedup_stream_epoch(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    ts_col: str = "ts",
+    epoch_unit: str = "day",
+    watermark: str = "2 hours",
+    ttl_units: int = 1,
+) -> DataFrame:
+    """BOUNDED-STATE cross-batch dedup: exact within an event-time epoch
+    (date_trunc(epoch_unit, ts)), state keyed by (epoch, bucket) and
+    EVICTED by event-time timeout once the watermark passes the epoch's
+    retention horizon (epoch start + (1+ttl_units) epoch_units). A
+    doc_id re-delivered inside its epoch is dropped; the same doc_id in
+    a LATER epoch is re-admitted (that is the documented contract — web
+    recrawls usually WANT the newer snapshot kept per crawl window).
+
+    State size is bounded by (distinct ids per epoch) x (epochs inside
+    the retention horizon), independent of stream lifetime — the fix for
+    dedup_stream's unbounded seen-set. Input: (doc_id, url, text,
+    ts:timestamp); output adds the epoch column."""
+    if epoch_unit not in _EPOCH_UNIT_MS:
+        raise ValueError(f"epoch_unit must be one of {list(_EPOCH_UNIT_MS)}")
+    src = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if docs.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.withColumn("epoch", F.date_trunc(epoch_unit, F.col(ts_col)))
+        .withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        .groupBy("epoch", "bucket")
+        .applyInPandasWithState(
+            _make_dedup_epoch_fn(_EPOCH_UNIT_MS[epoch_unit], ttl_units),
+            outputStructType=_EPOCH_OUT_SCHEMA,
+            stateStructType=_DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
