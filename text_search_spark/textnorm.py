@@ -107,6 +107,13 @@ def extract_text(html: bytes | str) -> str:
     """
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
+    # HTML5: an unterminated comment runs to end-of-input and its content
+    # is ignored; stdlib HTMLParser instead re-emits the tail as text.
+    # Truncated pages are common in web crawls — close the comment so the
+    # tail is dropped, matching the spec (and BeautifulSoup's builders).
+    i = html.rfind("<!--")
+    if i != -1 and "-->" not in html[i:]:
+        html = html + "-->"
     p = _TextExtractor()
     p.feed(html)
     p.close()
