@@ -505,10 +505,12 @@ _SPILL_GROUP_ROWS = int(
 )
 
 
-def _decode_posting_rows(tbl):
+def _decode_posting_rows(tbl, doc_base: Optional[int] = None):
     """(doc_id, blob, term_id) Arrow table -> numpy views: term_ids,
     doc_ids, doc_len, tf, stripped positions payload (pos_data, pos_offs).
-    Shared by the in-memory flush and the spill-stream encoder."""
+    Shared by the in-memory flush and the spill-stream encoder.
+    doc_base set => the pipe carried narrowed int32 `doc_id32` columns
+    (doc_id - base); reconstruct the absolute int64 ids here."""
     col = lambda name: (
         tbl.column(name)
         .combine_chunks()
@@ -516,7 +518,7 @@ def _decode_posting_rows(tbl):
         .astype(np.int64)
     )
     term_ids = col("term_id")
-    doc_ids = col("doc_id")
+    doc_ids = col("doc_id") if doc_base is None else doc_base + col("doc_id32")
     data, offs = _flat_binary(tbl.column("blob"))
     dl, p1 = _decode_varbyte_at(data, offs[:-1])
     tf, p2 = _decode_varbyte_at(data, p1)
@@ -533,7 +535,11 @@ def _decode_posting_rows(tbl):
 
 
 def _encode_group_streaming(
-    chunks, avgdl: float, n_buckets: int, n_shards: int
+    chunks,
+    avgdl: float,
+    n_buckets: int,
+    n_shards: int,
+    doc_base: Optional[int] = None,
 ):
     """Encode ONE (term, shard) group from an iterator of Arrow tables
     (rows doc_id-ascending across chunks — the partition sort guarantees
@@ -606,7 +612,9 @@ def _encode_group_streaming(
     for tbl in chunks:
         if tbl.num_rows == 0:
             continue
-        t_ids, doc, dl, tf, pos_data, pos_offs = _decode_posting_rows(tbl)
+        t_ids, doc, dl, tf, pos_data, pos_offs = _decode_posting_rows(
+            tbl, doc_base
+        )
         if term_id is None:
             term_id = int(t_ids[0])
             shard = int(
@@ -654,6 +662,7 @@ def _segment_builder(
     n_shards: int,
     spill_rows: Optional[int] = None,
     chunk_rows: Optional[int] = None,
+    doc_base: Optional[int] = None,
 ):
     """Streaming mapInArrow fn: sorted (term_id, shard-of-doc_id, doc_id)
     record batches of (doc_id, blob, term_id) — one row per doc-run, from
@@ -683,9 +692,27 @@ def _segment_builder(
         # np.mod on int64 with positive modulus == Spark pmod
         return np.mod(xxhash64_long_vec(doc_ids), np.int64(n_shards))
 
+    def docs_abs(tbl: "pa.Table") -> np.ndarray:
+        """Absolute int64 doc_ids of a pipe table (doc_base set => the
+        pipe carries narrowed int32 doc_id32 = doc_id - base; the shard
+        hash and the on-disk encoding always use the absolute id)."""
+        if doc_base is None:
+            return (
+                tbl.column("doc_id")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        return doc_base + (
+            tbl.column("doc_id32")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
     def flush(tbl: "pa.Table") -> Iterator["pa.RecordBatch"]:
         term_ids, doc_ids, dl, tf, pos_data, pos_offs = (
-            _decode_posting_rows(tbl)
+            _decode_posting_rows(tbl, doc_base)
         )
         g_start_rows, cols = _build_chunk_arrays(
             term_ids,
@@ -723,12 +750,7 @@ def _segment_builder(
             .combine_chunks()
             .to_numpy(zero_copy_only=False)
         )
-        sh = shard_of(
-            tbl.column("doc_id")
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
+        sh = shard_of(docs_abs(tbl))
         change = np.flatnonzero(
             np.concatenate(
                 [[True], (codes[1:] != codes[:-1]) | (sh[1:] != sh[:-1])]
@@ -744,13 +766,7 @@ def _segment_builder(
             .combine_chunks()
             .to_numpy(zero_copy_only=False)
         )
-        d = (
-            tbl.column("doc_id")
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        mask = (t == key[0]) & (shard_of(d) == key[1])
+        mask = (t == key[0]) & (shard_of(docs_abs(tbl)) == key[1])
         if mask.all():
             return tbl.num_rows
         return int(np.argmin(mask))
@@ -791,9 +807,7 @@ def _segment_builder(
             writer = pa.ipc.new_stream(sink, tbl.schema)
             writer.write_table(tbl)
             t0 = int(tbl.column("term_id")[0].as_py())
-            d0 = np.asarray(
-                [int(tbl.column("doc_id")[0].as_py())], dtype=np.int64
-            )
+            d0 = docs_abs(tbl.slice(0, 1))
             spool = {
                 "path": path,
                 "writer": writer,
@@ -817,7 +831,7 @@ def _segment_builder(
 
             try:
                 row = _encode_group_streaming(
-                    chunks(), avgdl, n_buckets, n_shards
+                    chunks(), avgdl, n_buckets, n_shards, doc_base
                 )
             finally:
                 os.unlink(path)
@@ -1025,10 +1039,12 @@ def build_index(
             .parquet(fmt.doc_stats_dir(index_dir))
         )
         ds = spark.read.parquet(fmt.doc_stats_dir(index_dir))
-        n_docs, total_tokens, n_distinct = ds.select(
+        n_docs, total_tokens, n_distinct, dmin, dmax = ds.select(
             F.count("*"),
             F.coalesce(F.sum("doc_len"), F.lit(0)),
             F.countDistinct("doc_id"),
+            F.min("doc_id"),
+            F.max("doc_id"),
         ).first()
         if int(n_docs) != int(n_distinct):
             # a silent collision would merge two documents' postings
@@ -1041,6 +1057,13 @@ def build_index(
         man.n_docs = int(n_docs)
         man.total_tokens = int(total_tokens)
         man.avgdl = man.total_tokens / man.n_docs if man.n_docs else 0.0
+        # pipe-narrowing gate: dense id ranges (sequential ingest ids)
+        # ship as int32 deltas on the segment pipe; sparse hashed ids
+        # keep the int64 column (a 31-bit delta cannot hold them)
+        man.doc_id_base = int(dmin) if n_docs else 0
+        man.doc_id_narrow = bool(
+            n_docs and int(dmax) - int(dmin) < (1 << 31)
+        )
         if auto:
             n_buckets, n_shards = _auto_size(
                 man.total_tokens, spark.sparkContext.defaultParallelism
@@ -1180,22 +1203,41 @@ def build_index(
             from pyspark.sql import Observation
 
             obs = Observation(f"seg_metrics_{gi}")
+            sorted_toks = toks.repartition(
+                _partition_count(
+                    man.total_tokens,
+                    spark.sparkContext.defaultParallelism,
+                    len(buckets) * n_shards,
+                    bucket_groups,
+                ),
+                bucket_expr(n_buckets),
+                shard_expr(n_shards),
+            ).sortWithinPartitions(
+                "term_id", shard_expr(n_shards), "doc_id"
+            )
+            # pipe narrowing: dense id range -> ship int32 deltas across
+            # the JVM->Python Arrow pipe (the segment stage's dominant
+            # cost, BENCH.md war story 6); a pure projection ABOVE the
+            # sort, so partitioning/order are preserved and the on-disk
+            # index is byte-identical (the builder reconstructs absolute
+            # ids before hashing/encoding)
+            narrow = man.doc_id_narrow and (
+                os.environ.get("TSS_NARROW_DOC_ID", "1") != "0"
+            )
+            doc_base = man.doc_id_base if narrow else None
+            if narrow:
+                sorted_toks = sorted_toks.select(
+                    (F.col("doc_id") - F.lit(man.doc_id_base))
+                    .cast("int")
+                    .alias("doc_id32"),
+                    "blob",
+                    "term_id",
+                )
             seg = (
-                toks.repartition(
-                    _partition_count(
-                        man.total_tokens,
-                        spark.sparkContext.defaultParallelism,
-                        len(buckets) * n_shards,
-                        bucket_groups,
+                sorted_toks.mapInArrow(
+                    _segment_builder(
+                        man.avgdl, n_buckets, n_shards, doc_base=doc_base
                     ),
-                    bucket_expr(n_buckets),
-                    shard_expr(n_shards),
-                )
-                .sortWithinPartitions(
-                    "term_id", shard_expr(n_shards), "doc_id"
-                )
-                .mapInArrow(
-                    _segment_builder(man.avgdl, n_buckets, n_shards),
                     schema=seg_schema,
                 )
                 # metrics ride the write job itself — re-reading the segments

@@ -59,6 +59,14 @@ class IndexManifest:
     complete: bool = False
     run_id: str = ""
     stages: Dict[str, bool] = field(default_factory=dict)
+    # JVM->Python pipe narrowing for the segment stage (build-transport
+    # only — on-disk bytes are identical either way): when the corpus's
+    # doc_id RANGE fits 31 bits (sequential/dense ingest ids), the pipe
+    # carries int32 (doc_id - doc_id_base) instead of int64 doc_id.
+    # Sparse 60-bit hashed ids auto-disable it. Persisted so a resumed
+    # build re-runs the segment stage with the same transport.
+    doc_id_base: int = 0
+    doc_id_narrow: bool = False
 
 
 def manifest_path(index_dir: str) -> str:
