@@ -41,13 +41,13 @@ def test_narrow_build_byte_identical(spark, tmp_path, monkeypatch):
     corpus = prepare_corpus(docs, doc_id_col="doc_id")
 
     d_on = str(tmp_path / "ix_on")
-    monkeypatch.delenv("TSS_NARROW_DOC_ID", raising=False)
+    monkeypatch.setenv("TSS_NARROW_DOC_ID", "1")
     build_index(spark, corpus, d_on, n_buckets=4, n_shards=2)
     man_on = fmt.load_manifest(d_on)
     assert man_on.doc_id_narrow  # dense ids -> the narrow path ran
 
     d_off = str(tmp_path / "ix_off")
-    monkeypatch.setenv("TSS_NARROW_DOC_ID", "0")
+    monkeypatch.delenv("TSS_NARROW_DOC_ID", raising=False)
     build_index(spark, corpus, d_off, n_buckets=4, n_shards=2)
 
     # segment data files: identical bytes, file for file

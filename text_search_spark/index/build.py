@@ -1216,13 +1216,21 @@ def build_index(
                 "term_id", shard_expr(n_shards), "doc_id"
             )
             # pipe narrowing: dense id range -> ship int32 deltas across
-            # the JVM->Python Arrow pipe (the segment stage's dominant
-            # cost, BENCH.md war story 6); a pure projection ABOVE the
+            # the JVM->Python Arrow pipe; a pure projection ABOVE the
             # sort, so partitioning/order are preserved and the on-disk
             # index is byte-identical (the builder reconstructs absolute
-            # ids before hashing/encoding)
+            # ids before hashing/encoding). OPT-IN (TSS_NARROW_DOC_ID=1):
+            # measured on the round-4 host (interleaved full-build A/B
+            # x2 at 400k docs/local[16] AND a passthrough-UDF transfer
+            # control), the 4 B/row width cut does NOT beat the cost of
+            # the extra projection — the round-3 narrowing won by
+            # removing whole COLUMNS (per-column Arrow buffers), which
+            # is where the pipe overhead lives, not raw fixed-column width.
+            # Kept behind the flag with byte-identity pinned
+            # (tests/test_pipe_narrow.py) for hosts where the pipe is
+            # genuinely bandwidth-bound.
             narrow = man.doc_id_narrow and (
-                os.environ.get("TSS_NARROW_DOC_ID", "1") != "0"
+                os.environ.get("TSS_NARROW_DOC_ID", "0") == "1"
             )
             doc_base = man.doc_id_base if narrow else None
             if narrow:
