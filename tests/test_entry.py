@@ -42,6 +42,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def test_census_is_exactly_the_checked_window():
+    """Round-3 lesson: entries past the driver's 50-entry check window go
+    silently unchecked. Pin census == 50 AND full oracle coverage so any
+    future entry addition must consolidate, not overflow."""
+    assert len(_QUERIES) == 50, sorted(_QUERIES)
+    assert set(_QUERIES) == set(_ORACLES), (
+        sorted(set(_QUERIES) ^ set(_ORACLES))
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_entry_vs_duckdb(spark, ddb, name):
     assert name in _QUERIES, f"oracle_sql has {name} but queries() doesn't"

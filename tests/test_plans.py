@@ -140,6 +140,30 @@ def test_no_tokenizer_above_generate(spark, tmp_path):
     assert "regexp_replace" not in above_generate
 
 
+def test_textstats_profile_no_shuffle(spark):
+    """The fused per-doc profile is a pure per-row select — NO Exchange,
+    no join, no Python in the plan (the whole point of fusing the five
+    metric families into one scan)."""
+    from text_search_spark.operators.textstats import profile
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    assert_not_in_plan(profile(docs), "Exchange", "Join", "Python")
+
+
+def test_langid_ngram_broadcasts_weights(spark):
+    """The ~300-row weight table joins BROADCAST against the exploded
+    feature stream (never a sort-merge shuffle of the features), and no
+    row-at-a-time Python appears anywhere."""
+    from text_search_spark.operators.textstats import langid_ngram
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = langid_ngram(docs)
+    assert_in_plan(out, "BroadcastHashJoin")
+    assert_not_in_plan(
+        out, "SortMergeJoin", "CartesianProduct", "BatchEvalPython"
+    )
+
+
 def test_lsh_dup_pairs_no_cartesian(spark):
     """Bucketed near-dup must never degrade to an all-pairs cross join."""
     from text_search_spark.operators import ann

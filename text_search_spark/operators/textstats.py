@@ -159,26 +159,25 @@ def langid_ngram(
             F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
         ),
     ).otherwise(empty)
+    # explode_outer keeps a (doc, NULL) row for feature-less docs and the
+    # weight join is LEFT, so every doc survives to the groupBy — no
+    # second docs-side join (which would plan as a sort-merge shuffle of
+    # the whole corpus). One broadcast join + ONE map-side-combined agg.
     feats = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.concat(uni, tri)).alias("feat"),
+        F.explode_outer(F.concat(uni, tri)).alias("feat"),
     )
-    scores = (
-        feats.join(F.broadcast(wdf), "feat")
+    out = (
+        feats.join(F.broadcast(wdf), "feat", "left")
         .groupBy("doc_id")
-        .agg(*[F.sum(f"w_{lg}").alias(f"s_{lg}") for lg in langs])
-    )
-    out = df.select(F.col(id_col).alias("doc_id")).join(
-        scores, "doc_id", "left"
-    )
-    out = out.select(
-        "doc_id",
-        *[
-            F.coalesce(F.col(f"s_{lg}"), F.lit(0).cast("long")).alias(
-                f"s_{lg}"
-            )
-            for lg in langs
-        ],
+        .agg(
+            *[
+                F.sum(F.coalesce(F.col(f"w_{lg}"), F.lit(0)))
+                .cast("long")
+                .alias(f"s_{lg}")
+                for lg in langs
+            ]
+        )
     )
     pred = F.lit(langs[-1])
     best = F.col(f"s_{langs[-1]}")
