@@ -218,6 +218,16 @@ def main() -> None:
         emb, qs, k=5, n_cells=16, nprobe=4, quantizer="kmeans"
     ).collect()
     extra["ann_ivf_kmeans_s"] = round(time.perf_counter() - t0, 3)
+    # round-4: the deterministic Lloyd trained quantizer (the driver-
+    # gated path) and the trained char-n-gram language scorer
+    t0 = time.perf_counter()
+    ann.ivf_topk(
+        emb, qs, k=5, n_cells=16, nprobe=4, quantizer="lloyd"
+    ).collect()
+    extra["ann_ivf_lloyd_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    textstats.langid_ngram(docs).count()
+    extra["langid_ngram_s"] = round(time.perf_counter() - t0, 3)
     lq, ld = synthetic_long_pair()
     lpairs = spark.createDataFrame(
         [("lq", lq, 0, ld)],
