@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from text_search_spark.index import format as ixfmt
 from text_search_spark.index.build import build_index, prepare_corpus
 from text_search_spark.index.query import IndexReader, QuerySpec, bm25_topk_df
-from text_search_spark.operators import ann, dedup, textstats
+from text_search_spark.operators import ann, dedup, textstats, webtext
 from text_search_spark.functions.text import shingles
 from text_search_spark.textnorm import duckdb_tokens_sql, spark_tokens
 
@@ -375,21 +375,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_sigs"] = minhash_sigs
 
     def lsh_pairs(spark, sf_dir):
-        sigs = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
-        return dedup.lsh_candidate_pairs(sigs)
+        # both LSH configurations, method-tagged in one gated entry:
+        # 'term' = term-set minhash (8-row bands), 'shingle3' = the
+        # web-scale near-dup configuration — 3-token-shingle minhash +
+        # 4-row bands (collision prob s^4 per band), where candidate
+        # pairs are actual near-duplicates, not same-language
+        # vocabulary overlap
+        docs = _t(spark, sf_dir, "documents")
+        term = dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(docs)
+        ).withColumn("variant", F.lit("term"))
+        sh3 = dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(docs, shingle_n=3), rows_per_band=4
+        ).withColumn("variant", F.lit("shingle3"))
+        return term.unionByName(sh3)
 
     q["lsh_pairs"] = lsh_pairs
-
-    def lsh_pairs_shingled(spark, sf_dir):
-        # the web-scale near-dup configuration: 3-token-shingle minhash +
-        # 4-row bands (collision prob s^4 per band) — candidate pairs are
-        # actual near-duplicates, not same-language vocabulary overlap
-        sigs = dedup.minhash_signatures(
-            _t(spark, sf_dir, "documents"), shingle_n=3
-        )
-        return dedup.lsh_candidate_pairs(sigs, rows_per_band=4)
-
-    q["lsh_pairs_shingled"] = lsh_pairs_shingled
 
     def simhash(spark, sf_dir):
         return dedup.simhash(_t(spark, sf_dir, "documents"))
@@ -400,6 +401,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
     q["ngram_jaccard"] = ngram_jaccard
+
+    # ---- crawl-table (Common-Crawl-shaped) operators ----
+    # The sf tables have no url/warc_ts columns, so both entries derive
+    # a deterministic crawl shape from documents (11 hosts x 13 pages =
+    # 143 urls -> ~3.5 snapshots per url at sf0.01; pseudo-random
+    # fetch seconds) with pure JVM expressions the oracle repeats
+    # verbatim. Real crawl input uses the same operators directly on
+    # (url, warc_ts, ...) — tests/test_webtext.py covers that shape.
+    def _crawl_pages(spark, sf_dir):
+        d = F.col("doc_id")
+        return _t(spark, sf_dir, "documents").select(
+            F.concat(
+                F.lit("https://s"),
+                (d % 11).cast("string"),
+                F.lit(".example/p"),
+                (d % 13).cast("string"),
+            ).alias("url"),
+            ((d * 131) % 10007).alias("ts_s"),
+            "doc_id",
+            "text",
+            "lang",
+        )
+
+    def url_latest_snapshot(spark, sf_dir):
+        # crawl refetch dedup: one row per url, newest fetch wins
+        # (combiner-friendly max(struct), no window) — the Iceberg
+        # MERGE-by-url shape
+        return webtext.latest_snapshot(
+            _crawl_pages(spark, sf_dir).select(
+                "url", "ts_s", "doc_id", "lang"
+            ),
+            ts_col="ts_s",
+            tiebreak_col="doc_id",
+        )
+
+    q["url_latest_snapshot"] = url_latest_snapshot
+
+    def host_stats(spark, sf_dir):
+        # per-host rollup (C4/RefinedWeb-style domain quality signal);
+        # avg_chars is dropped from the gated projection only because
+        # Spark and DuckDB may round half-way cases differently —
+        # n_docs/total_chars gate the same information
+        return webtext.host_stats(_crawl_pages(spark, sf_dir)).select(
+            "host", "n_docs", "total_chars", "n_langs"
+        )
+
+    q["host_stats"] = host_stats
 
     # ---- similarity search ----
     def embedding_knn(spark, sf_dir):
@@ -421,27 +469,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def ann_ivf_topk(spark, sf_dir):
-        # IVF scale path: coarse-quantizer cells + nprobe probing; the
-        # cell assignment is a per-row JVM array argmax (no shuffle)
+        # IVF scale path, both assignment modes method-tagged in one
+        # gated entry: 'single' = coarse-quantizer cells + nprobe
+        # probing (cell assignment is a per-row JVM array argmax, no
+        # shuffle); 'multi2' = n_assign=2 multi-assignment (the
+        # standard recall lever: each vector lives in its 2 nearest
+        # cells, candidates dedupe before top-k). Deterministic
+        # quantizer so DuckDB replays both verbatim.
         e = _t(spark, sf_dir, "embeddings")
         qs = e.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
-        return ann.ivf_topk(e, qs, k=5, n_cells=16, nprobe=4)
+        single = ann.ivf_topk(e, qs, k=5, n_cells=16, nprobe=4).withColumn(
+            "variant", F.lit("single")
+        )
+        multi = ann.ivf_topk(
+            e, qs, k=5, n_cells=16, nprobe=4, n_assign=2
+        ).withColumn("variant", F.lit("multi2"))
+        return single.unionByName(multi)
 
     q["ann_ivf_topk"] = ann_ivf_topk
-
-    def ann_ivf_multiassign(spark, sf_dir):
-        # IVF with n_assign=2 multi-assignment (the standard recall lever:
-        # each vector lives in its 2 nearest cells, candidates dedupe
-        # before top-k); deterministic quantizer so DuckDB replays it
-        e = _t(spark, sf_dir, "embeddings")
-        qs = e.where(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-        )
-        return ann.ivf_topk(e, qs, k=5, n_cells=16, nprobe=4, n_assign=2)
-
-    q["ann_ivf_multiassign"] = ann_ivf_multiassign
 
     def ann_ivf_kmeans(spark, sf_dir):
         # TRAINED quantizer, fully driver-gated: deterministic
@@ -1127,9 +1174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats_profile", "langid_ngram", "repetition_stats",
         "top_bigram_matches", "pii_stats",
         "dedup_exact", "dedup_lines", "minhash_sigs", "lsh_pairs",
-        "lsh_pairs_shingled", "simhash", "ngram_jaccard",
+        "simhash", "ngram_jaccard", "url_latest_snapshot", "host_stats",
         "embedding_knn", "embedding_dups", "ann_lsh_topk", "ann_ivf_topk",
-        "ann_ivf_multiassign", "ann_ivf_kmeans",
+        "ann_ivf_kmeans",
         "multimodal_features", "corpus_union", "filtered_postings",
         "events_window", "events_tumbling_window", "argmax_doc",
         "tpch_q1", "tpch_q3",
@@ -1269,38 +1316,37 @@ SELECT big.bigram, doc_id, CAST(pos AS INTEGER) AS pos FROM big JOIN top ON big.
         f"AS bucket FROM sigs"
         for b in range(dedup.NUM_MINHASHES // 2)
     )
-    o["lsh_pairs"] = f"""
-WITH {_TOKS}, dt AS (SELECT DISTINCT doc_id, term FROM toks),
-sigs AS (SELECT doc_id, {mh_cols} FROM dt GROUP BY doc_id),
-bands AS ({bands_sql}),
-sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
-          FROM bands)
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM (SELECT * FROM sized WHERE bsz <= 1000) a
-JOIN (SELECT * FROM sized WHERE bsz <= 1000) b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-"""
-
     shingled_bands = " UNION ALL ".join(
         f"SELECT doc_id AS id, {b} AS band, "
         f"md5(h{4*b} || '|' || h{4*b+1} || '|' || h{4*b+2} || '|' || "
         f"h{4*b+3}) AS bucket FROM sigs"
         for b in range(dedup.NUM_MINHASHES // 4)
     )
-    o["lsh_pairs_shingled"] = f"""
-WITH {_TOKS},
+    # both LSH configurations, variant-tagged (matches the single
+    # method-tagged Spark entry)
+    o["lsh_pairs"] = f"""
+WITH {_TOKS}, dt AS (SELECT DISTINCT doc_id, term FROM toks),
+sigs_t AS (SELECT doc_id, {mh_cols} FROM dt GROUP BY doc_id),
+bands_t AS (WITH sigs AS (SELECT * FROM sigs_t) {bands_sql}),
+sized_t AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+          FROM bands_t),
 sh3 AS (SELECT DISTINCT a.doc_id,
         a.term || ' ' || b.term || ' ' || c.term AS term
   FROM toks a
   JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
   JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-sigs AS (SELECT doc_id, {mh_cols} FROM sh3 GROUP BY doc_id),
-bands AS ({shingled_bands}),
-sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
-          FROM bands)
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM (SELECT * FROM sized WHERE bsz <= 1000) a
-JOIN (SELECT * FROM sized WHERE bsz <= 1000) b
+sigs_s AS (SELECT doc_id, {mh_cols} FROM sh3 GROUP BY doc_id),
+bands_s AS (WITH sigs AS (SELECT * FROM sigs_s) {shingled_bands}),
+sized_s AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+          FROM bands_s)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b, 'term' AS variant
+FROM (SELECT * FROM sized_t WHERE bsz <= 1000) a
+JOIN (SELECT * FROM sized_t WHERE bsz <= 1000) b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+UNION ALL
+SELECT DISTINCT a.id AS id_a, b.id AS id_b, 'shingle3' AS variant
+FROM (SELECT * FROM sized_s WHERE bsz <= 1000) a
+JOIN (SELECT * FROM sized_s WHERE bsz <= 1000) b
   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 """
 
@@ -1858,7 +1904,11 @@ SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
 
     # ---- ann_ivf_topk: replicate the IVF exactly — cells = the 16
     # lowest-id embeddings, per-vector argmax assignment (rounded cos,
-    # lowest cell on ties), queries probe their 4 nearest cells ----
+    # lowest cell on ties), queries probe their 4 nearest cells.
+    # Variant 'single' assigns each vector to its 1 nearest cell;
+    # variant 'multi2' to its TOP-2 cells with candidate pairs deduped
+    # before the exact dot product (a vector in two probed cells must
+    # contribute once, not twice) ----
     o["ann_ivf_topk"] = """
 WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
             generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -1873,23 +1923,42 @@ cdots AS (SELECT a.vec_id, c.cell,
   JOIN norms na ON na.vec_id = a.vec_id
   JOIN norms nb ON nb.vec_id = c.cid
   GROUP BY a.vec_id, c.cell, na.nrm, nb.nrm),
-assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number()
-  OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn FROM cdots)
-  WHERE rn = 1),
+arn AS (SELECT vec_id, cell, row_number()
+  OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn FROM cdots),
+assign1 AS (SELECT vec_id, cell FROM arn WHERE rn = 1),
+assign2 AS (SELECT vec_id, cell FROM arn WHERE rn <= 2),
 probes AS (SELECT vec_id AS q_id, cell FROM (SELECT vec_id, cell,
   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
   FROM cdots WHERE vec_id < 5) WHERE rn <= 4),
-dots AS (SELECT p.q_id, a.vec_id,
+dots1 AS (SELECT p.q_id, a.vec_id,
   round(sum(ea.v * eq.v) / (na.nrm * nq.nrm), 4) AS cos
-  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.q_id
+  FROM probes p JOIN assign1 a ON a.cell = p.cell AND a.vec_id != p.q_id
   JOIN ex ea ON ea.vec_id = a.vec_id
   JOIN ex eq ON eq.vec_id = p.q_id AND eq.i = ea.i
   JOIN norms na ON na.vec_id = a.vec_id
   JOIN norms nq ON nq.vec_id = p.q_id
   GROUP BY 1, 2, na.nrm, nq.nrm),
-ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM dots)
-SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+cands2 AS (SELECT DISTINCT p.q_id, a.vec_id
+  FROM probes p JOIN assign2 a ON a.cell = p.cell AND a.vec_id != p.q_id),
+dots2 AS (SELECT c.q_id, c.vec_id,
+  round(sum(ea.v * eq.v) / (na.nrm * nq.nrm), 4) AS cos
+  FROM cands2 c
+  JOIN ex ea ON ea.vec_id = c.vec_id
+  JOIN ex eq ON eq.vec_id = c.q_id AND eq.i = ea.i
+  JOIN norms na ON na.vec_id = c.vec_id
+  JOIN norms nq ON nq.vec_id = c.q_id
+  GROUP BY 1, 2, na.nrm, nq.nrm),
+ranked1 AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos
+  FROM dots1),
+ranked2 AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos
+  FROM dots2)
+SELECT q_id, rank, vec_id, cos, 'single' AS variant FROM ranked1
+WHERE rank <= 5
+UNION ALL
+SELECT q_id, rank, vec_id, cos, 'multi2' AS variant FROM ranked2
+WHERE rank <= 5
 """
 
     # ---- ann_ivf_kmeans: the deterministic Lloyd's training unrolled in
@@ -1956,43 +2025,30 @@ ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
 SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
 """
 
-    # ---- ann_ivf_multiassign: same IVF replica but every vector is
-    # assigned to its TOP-2 cells (rn <= 2) and candidate pairs dedupe
-    # before the exact dot product (a vector in two probed cells must
-    # contribute once, not twice) ----
-    o["ann_ivf_multiassign"] = """
-WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-            generate_subscripts(embedding, 1) AS i FROM embeddings),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
-cent_ids AS (SELECT vec_id AS cid,
-  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-cdots AS (SELECT a.vec_id, c.cell,
-  round(sum(a.v * b.v) / (na.nrm * nb.nrm), 4) AS cos
-  FROM ex a JOIN cent_ids c ON true
-  JOIN ex b ON b.vec_id = c.cid AND b.i = a.i
-  JOIN norms na ON na.vec_id = a.vec_id
-  JOIN norms nb ON nb.vec_id = c.cid
-  GROUP BY a.vec_id, c.cell, na.nrm, nb.nrm),
-assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number()
-  OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn FROM cdots)
-  WHERE rn <= 2),
-probes AS (SELECT vec_id AS q_id, cell FROM (SELECT vec_id, cell,
-  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
-  FROM cdots WHERE vec_id < 5) WHERE rn <= 4),
-cands AS (SELECT DISTINCT p.q_id, a.vec_id
-  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.q_id),
-dots AS (SELECT c.q_id, c.vec_id,
-  round(sum(ea.v * eq.v) / (na.nrm * nq.nrm), 4) AS cos
-  FROM cands c
-  JOIN ex ea ON ea.vec_id = c.vec_id
-  JOIN ex eq ON eq.vec_id = c.q_id AND eq.i = ea.i
-  JOIN norms na ON na.vec_id = c.vec_id
-  JOIN norms nq ON nq.vec_id = c.q_id
-  GROUP BY 1, 2, na.nrm, nq.nrm),
-ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM dots)
-SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+    # ---- crawl-table entries: the oracle repeats the deterministic
+    # url/ts derivation (11 hosts x 13 pages, fetch_s = doc_id*131 %
+    # 10007) and replays the keep-newest / per-host rollup in SQL ----
+    _crawl_sql = (
+        "p AS (SELECT 'https://s' || (doc_id % 11) || '.example/p' || "
+        "(doc_id % 13) AS url, (doc_id * 131) % 10007 AS ts_s, "
+        "doc_id, text, lang FROM documents)"
+    )
+    o["url_latest_snapshot"] = f"""
+WITH {_crawl_sql},
+w AS (SELECT url, ts_s, doc_id, lang,
+  count(*) OVER (PARTITION BY url) AS n_snapshots,
+  row_number() OVER (PARTITION BY url
+    ORDER BY ts_s DESC, doc_id DESC) AS rn FROM p)
+SELECT url, ts_s, doc_id, lang, n_snapshots FROM w WHERE rn = 1
+"""
+
+    o["host_stats"] = f"""
+WITH {_crawl_sql}
+SELECT 's' || (doc_id % 11) || '.example' AS host,
+  count(*) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM p GROUP BY 1
 """
 
     # ---- embedding_dups: brute all-pairs (threshold 0.5) UNION the

@@ -1,0 +1,156 @@
+"""Crawl-corpus (Common-Crawl-shaped) table operators: URL refetch
+dedup and per-host rollups/filters.
+
+The input is the engine's canonical pages shape (BASELINE.json
+input_hint): (url string, warc_ts timestamp, html binary, text string,
+lang string).  Two pipeline steps every web-scale corpus needs before
+indexing or training:
+
+1. ``latest_snapshot`` — a crawl refetches the same URL across
+   snapshots; keep exactly one row per url (the newest ``warc_ts``,
+   deterministic tie-break).  This is the "upsert by url" an Iceberg
+   MERGE would do, expressed as ONE combiner-friendly aggregation:
+   ``max(struct(ts, tiebreak, payload...))`` per url.  Explicitly NOT a
+   window function — ``row_number() OVER (PARTITION BY url)`` would
+   materialize every snapshot of the hottest url in one task's sort
+   buffer, while max(struct) reduces map-side, so a url fetched a
+   million times costs one partial per input partition.
+
+2. ``host_stats`` / ``host_filter`` — per-registrable-host quality
+   rollups (C4/RefinedWeb-style domain filtering: drop hosts with too
+   few pages to judge or so many they are link farms).  Host
+   extraction is a single JVM regexp; the rollup is one
+   map-side-combined aggregation over ~millions of distinct hosts
+   (tiny vs the corpus).  ``host_filter`` joins the verdict back with
+   a BROADCAST of the offending-host list when it is small (the common
+   case: filters remove few distinct hosts), falling back to a hash
+   join above ``broadcast_max_hosts``.
+
+No Python in any row path; every expression is Catalyst-side, so the
+driver's DuckDB oracle replays the semantics exactly.
+
+Reference parity note: k2-fsa/text_search has no crawl-table layer (it
+ingests pre-extracted books/transcripts); these operators cover the
+web-corpus preparation the north-star pipeline needs upstream of
+textsearch-style indexing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scheme://HOST[:port]/...  — host = authority minus userinfo/port.
+# Java regex and DuckDB RE2 agree on this subset (no lookaround).
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def host_col(url_col) -> F.Column:
+    """Lower-cased host extracted from a URL column (empty string when
+    the URL has no authority). Pure per-row JVM regexp."""
+    return F.lower(F.regexp_extract(url_col, _HOST_RE, 1))
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("host", host_col(F.col(url_col)))
+
+
+def latest_snapshot(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: Optional[str] = None,
+    payload_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One row per url: the snapshot with the greatest ``ts_col``
+    (ties broken by the greatest ``tiebreak_col``), plus
+    ``n_snapshots`` = how many fetches that url had.
+
+    Single hash aggregation on url with map-side partials; the winning
+    row's payload rides inside the max(struct(...)) so no join-back
+    scan is needed.  Struct comparison is lexicographic in field
+    order, so payload fields placed AFTER a unique tie-break can never
+    influence which row wins.  Without ``tiebreak_col`` there is no
+    tie field at all: equal-``ts_col`` snapshots compare by payload in
+    column order — still deterministic for any given row content, but
+    pass a unique id column when the corpus has one.
+    """
+    payload_cols = list(
+        payload_cols
+        if payload_cols is not None
+        else [c for c in df.columns if c not in (url_col, ts_col)]
+    )
+    if tiebreak_col and tiebreak_col in payload_cols:
+        payload_cols.remove(tiebreak_col)
+    fields = [F.col(ts_col).alias("_ts")]
+    if tiebreak_col:
+        fields.append(F.col(tiebreak_col).alias("_tie"))
+    fields += [F.col(c).alias(c) for c in payload_cols]
+    agg = df.groupBy(F.col(url_col).alias("url")).agg(
+        F.max(F.struct(*fields)).alias("kept"),
+        F.count(F.lit(1)).alias("n_snapshots"),
+    )
+    out = [
+        F.col("url"),
+        F.col("kept._ts").alias(ts_col),
+    ]
+    if tiebreak_col:
+        out.append(F.col("kept._tie").alias(tiebreak_col))
+    out += [F.col(f"kept.{c}").alias(c) for c in payload_cols]
+    out.append(F.col("n_snapshots"))
+    return agg.select(*out)
+
+
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: Optional[str] = "lang",
+) -> DataFrame:
+    """(host, n_docs, total_chars, avg_chars, n_langs) — one
+    map-side-combined aggregation keyed by host.  Output cardinality
+    is the distinct-host count (~1e6-1e8 on a full crawl), negligible
+    next to the page table, so this rollup is re-computable per
+    snapshot rather than maintained incrementally."""
+    d = df.select(
+        host_col(F.col(url_col)).alias("host"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        *([F.col(lang_col).alias("lang")] if lang_col else []),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    ]
+    if lang_col:
+        aggs.append(F.countDistinct("lang").alias("n_langs"))
+    return d.groupBy("host").agg(*aggs)
+
+
+def host_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_avg_chars: float = 0.0,
+    broadcast_max_hosts: int = 10_000_000,
+) -> DataFrame:
+    """Drop pages whose host fails the rollup thresholds (too few
+    pages to judge, or average page too short — boilerplate mills).
+
+    The passing-host list is joined back broadcast when its size is
+    under ``broadcast_max_hosts`` (counted with one cheap agg over the
+    already-tiny rollup); above that it degrades to a hash join on
+    host — never a window over the page table."""
+    stats = host_stats(df, url_col=url_col, text_col=text_col, lang_col=None)
+    good = stats.where(
+        (F.col("n_docs") >= min_docs) & (F.col("avg_chars") >= min_avg_chars)
+    ).select("host")
+    n_good = good.count()
+    if n_good <= broadcast_max_hosts:
+        good = F.broadcast(good)
+    return df.join(
+        good, host_col(F.col(url_col)) == good["host"], "inner"
+    ).drop(good["host"])
