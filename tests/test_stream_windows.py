@@ -234,3 +234,81 @@ def test_dedup_stream_epoch_bounded_state(spark, tmp_path):
     progress = q.lastProgress
     n_state = progress["stateOperators"][0]["numRowsTotal"]
     assert n_state == 2, progress["stateOperators"][0]
+
+
+def test_latest_snapshot_stream_emits_upserts(spark, tmp_path):
+    """Streaming crawl refetch dedup: emit an upsert when a url's
+    newest-snapshot winner changes; drop older/duplicate refetches in
+    any later micro-batch; collapse within-batch churn to one
+    candidate per url."""
+    from text_search_spark.streaming.windows import latest_snapshot_stream
+
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "url string, ts_s string, fetch_id long, text string"
+        ).select(
+            "url",
+            F.col("ts_s").cast("timestamp").alias("warc_ts"),
+            "fetch_id",
+            "text",
+        )
+
+    mk(
+        [
+            ("u/a", "2024-01-01 00:00:10", 1, "a v1"),
+            ("u/b", "2024-01-01 00:00:40", 4, "b v1"),
+        ]
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    time.sleep(1.1)
+    mk(
+        [
+            # newer than state ts=10 -> upsert (the in-batch older
+            # ts=20 row collapses away first)
+            ("u/a", "2024-01-01 00:00:30", 3, "a v3"),
+            ("u/a", "2024-01-01 00:00:20", 2, "a v2"),
+            # equal ts, LOWER fetch_id than state -> dropped
+            ("u/b", "2024-01-01 00:00:40", 3, "b stale"),
+            # first sighting -> upsert
+            ("u/c", "2024-01-01 00:00:05", 9, "c v1"),
+        ]
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, fetch_id long, text string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    got = _run_stream(
+        spark,
+        latest_snapshot_stream(stream),
+        "snap_upserts",
+        str(tmp_path / "ck_snap"),
+    )
+    rows = sorted(
+        ((r.url, r.fetch_id, r.text) for r in got.collect()),
+    )
+    assert rows == [
+        ("u/a", 1, "a v1"),
+        ("u/a", 3, "a v3"),
+        ("u/b", 4, "b v1"),
+        ("u/c", 9, "c v1"),
+    ]
+    # last upsert per url == the batch operator's winners
+    from text_search_spark.operators.webtext import latest_snapshot
+
+    all_pages = spark.read.parquet(os.path.join(src, "*"))
+    batch = {
+        r.url: (r.fetch_id, r.text)
+        for r in latest_snapshot(
+            all_pages, ts_col="warc_ts", tiebreak_col="fetch_id"
+        ).collect()
+    }
+    stream_last = {}
+    for r in got.orderBy("warc_ts", "fetch_id").collect():
+        stream_last[r.url] = (r.fetch_id, r.text)
+    assert stream_last == batch

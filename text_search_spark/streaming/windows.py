@@ -216,6 +216,134 @@ def _make_dedup_epoch_fn(unit_ms: int, ttl_units: int):
     return fn
 
 
+_SNAP_STATE_SCHEMA = (
+    "urls array<string>, ts_ms array<long>, tie array<long>"
+)
+_SNAP_OUT_SCHEMA = (
+    "url string, warc_ts timestamp, fetch_id long, text string"
+)
+
+
+def _snapshot_fn(
+    key,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    # state = this url-bucket's current winners, three parallel arrays
+    # kept SORTED by url so lookups are searchsorted, inserts one
+    # sorted-merge pass, and a batch that changes nothing writes nothing
+    if state.exists:
+        urls, ts_ms, tie = (
+            np.asarray(state.get[0], dtype=object),
+            np.asarray(state.get[1], dtype=np.int64),
+            np.asarray(state.get[2], dtype=np.int64),
+        )
+    else:
+        urls = np.empty(0, dtype=object)
+        ts_ms = np.empty(0, dtype=np.int64)
+        tie = np.empty(0, dtype=np.int64)
+    dirty = False
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # collapse WITHIN the batch first: keep each url's max
+        # (warc_ts, fetch_id) row, so state sees one candidate per url
+        pdf = (
+            pdf.sort_values(["url", "warc_ts", "fetch_id"])
+            .groupby("url", sort=True)
+            .tail(1)
+            .reset_index(drop=True)
+        )
+        b_urls = pdf["url"].to_numpy(dtype=object)
+        b_ts = (
+            pdf["warc_ts"].astype("datetime64[ms]").to_numpy().astype(np.int64)
+        )
+        b_tie = pdf["fetch_id"].to_numpy(dtype=np.int64)
+        if urls.size:
+            idx = np.searchsorted(urls, b_urls)
+            safe = np.minimum(idx, urls.size - 1)
+            found = urls[safe] == b_urls
+            fidx = safe[found]
+            newer = (b_ts[found] > ts_ms[fidx]) | (
+                (b_ts[found] == ts_ms[fidx]) & (b_tie[found] > tie[fidx])
+            )
+        else:
+            found = np.zeros(b_urls.shape, dtype=bool)
+            newer = np.empty(0, dtype=bool)
+        # existing urls beaten by a newer snapshot: update in place
+        upd = fidx[newer] if urls.size else np.empty(0, dtype=np.int64)
+        if upd.size:
+            src = np.flatnonzero(found)[newer]
+            ts_ms[upd] = b_ts[src]
+            tie[upd] = b_tie[src]
+            dirty = True
+        # unseen urls: sorted-merge insert
+        new_mask = ~found
+        if new_mask.any():
+            n_urls = b_urls[new_mask]
+            pos = np.searchsorted(urls, n_urls)
+            total = urls.size + n_urls.size
+            keep = np.ones(total, dtype=bool)
+            keep[pos + np.arange(n_urls.size)] = False
+            m_urls = np.empty(total, dtype=object)
+            m_ts = np.empty(total, dtype=np.int64)
+            m_tie = np.empty(total, dtype=np.int64)
+            m_urls[~keep] = n_urls
+            m_ts[~keep] = b_ts[new_mask]
+            m_tie[~keep] = b_tie[new_mask]
+            m_urls[keep] = urls
+            m_ts[keep] = ts_ms
+            m_tie[keep] = tie
+            urls, ts_ms, tie = m_urls, m_ts, m_tie
+            dirty = True
+        won = new_mask.copy()
+        if urls.size and found.any():
+            won[np.flatnonzero(found)[newer]] = True
+        out = pdf[won]
+        if len(out):
+            yield out[["url", "warc_ts", "fetch_id", "text"]]
+    if dirty:
+        state.update((urls.tolist(), ts_ms.tolist(), tie.tolist()))
+
+
+def latest_snapshot_stream(
+    pages: DataFrame,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Streaming form of operators/webtext.latest_snapshot: the crawl
+    arrives as a stream of (url, warc_ts timestamp, fetch_id long,
+    text); emit an UPSERT record each time a url's newest-snapshot
+    winner changes (first sighting, or a strictly newer (warc_ts,
+    fetch_id)). Older/duplicate re-fetches are dropped in every later
+    micro-batch; within a batch each url is collapsed to its max
+    before the state compare. Downstream, the upsert stream is exactly
+    what an Iceberg MERGE-by-url sink consumes.
+
+    State: per url-bucket (pmod(xxhash64(url))), three sorted parallel
+    arrays url/ts/tie — the payload is NOT stored (it is emitted the
+    moment it wins). State size is the distinct-url count, i.e. the
+    table's key set: at full-crawl scale the authoritative merge lives
+    in the table sink and this operator runs per crawl window to
+    collapse refetch churn before the sink (same bounded-epoch options
+    as dedup_stream_epoch apply)."""
+    return (
+        pages.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"),
+        )
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _snapshot_fn,
+            outputStructType=_SNAP_OUT_SCHEMA,
+            stateStructType=_SNAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_stream_epoch(
     docs: DataFrame,
     n_buckets: int = 64,
