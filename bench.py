@@ -228,6 +228,28 @@ def main() -> None:
     t0 = time.perf_counter()
     textstats.langid_ngram(docs).count()
     extra["langid_ngram_s"] = round(time.perf_counter() - t0, 3)
+    # round-4: crawl-table operators over a derived (url, ts) shape
+    # with refetch churn (11x13 urls -> many snapshots per url)
+    from text_search_spark.operators import webtext
+
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://s"), (d % 11).cast("string"),
+            F.lit(".example/p"), (d % 13).cast("string"),
+        ).alias("url"),
+        ((d * 131) % 10007).alias("ts_s"),
+        "doc_id", "text", "lang",
+    )
+    t0 = time.perf_counter()
+    webtext.latest_snapshot(
+        pages, ts_col="ts_s", tiebreak_col="doc_id"
+    ).count()
+    extra["url_latest_snapshot_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    webtext.host_stats(pages).count()
+    extra["host_stats_s"] = round(time.perf_counter() - t0, 3)
+
     lq, ld = synthetic_long_pair()
     lpairs = spark.createDataFrame(
         [("lq", lq, 0, ld)],
