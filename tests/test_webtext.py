@@ -75,12 +75,15 @@ def test_host_col_edge_cases(spark):
             ("https://WWW.Site.Org:8080/a/b",),
             ("http://user:pw@host.net/x",),
             ("ftp://f.example",),
+            ("HTTPS://Upper.Scheme.Net/p",),
             ("not a url",),
         ],
         "url string",
     )
     got = [r[0] for r in df.select(webtext.host_col(F.col("url"))).collect()]
-    assert got == ["www.site.org", "host.net", "f.example", ""]
+    assert got == [
+        "www.site.org", "host.net", "f.example", "upper.scheme.net", ""
+    ]
 
 
 def test_host_stats(spark):
@@ -113,6 +116,28 @@ def test_host_filter_broadcasts_small_verdict(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_latest_snapshot_null_semantics(spark):
+    rows = [
+        ("u", None, "null-ts", 9),
+        ("u", _ts(1), "real-ts", 1),
+        ("v", None, "only-null", 2),
+        (None, _ts(2), "null-url", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, fetch_id long"
+    )
+    out = {
+        r.url: r
+        for r in webtext.latest_snapshot(df, tiebreak_col="fetch_id").collect()
+    }
+    # null ts loses to any real timestamp (even a higher tiebreak)
+    assert out["u"].text == "real-ts" and out["u"].fetch_id == 1
+    # a url with only null timestamps still yields its row
+    assert out["v"].text == "only-null" and out["v"].warc_ts is None
+    # null urls form their own group
+    assert out[None].text == "null-url" and out[None].n_snapshots == 1
 
 
 def test_latest_snapshot_randomized_vs_pandas(spark):

@@ -43,8 +43,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # scheme://HOST[:port]/...  — host = authority minus userinfo/port.
-# Java regex and DuckDB RE2 agree on this subset (no lookaround).
-_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+# Java regex and DuckDB RE2 agree on this subset (no lookaround; the
+# inline (?i) covers crawls that record "HTTPS://..." schemes).
+_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
 
 
 def host_col(url_col) -> F.Column:
@@ -76,6 +77,11 @@ def latest_snapshot(
     tie field at all: equal-``ts_col`` snapshots compare by payload in
     column order — still deterministic for any given row content, but
     pass a unique id column when the corpus has one.
+
+    Nulls (struct ordering puts null fields FIRST, pinned in tests): a
+    null ``ts_col`` loses to any real timestamp; a url with only null
+    timestamps still yields its one best row; null urls group together
+    as their own key.
     """
     payload_cols = list(
         payload_cols
