@@ -1976,7 +1976,8 @@ cent0 AS (SELECT c.cell, u2.i, round(u2.u, 6) AS w
     for it in range(2):
         p, n = f"cent{it}", f"cent{it + 1}"
         _lloyd_cents.append(f"""
-cn{it} AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM {p} GROUP BY 1),
+cn{it} AS (SELECT cell, CASE WHEN sqrt(sum(w * w)) = 0 THEN 1.0
+  ELSE sqrt(sum(w * w)) END AS cn FROM {p} GROUP BY 1),
 cd{it} AS (SELECT u.vec_id, c.cell,
   round(sum(u.u * c.w) / (uo.un * cn.cn), 4) AS cos
   FROM un u JOIN {p} c ON c.i = u.i
@@ -1999,7 +2000,8 @@ un AS (SELECT e.vec_id, e.i, e.v / n.nrm AS u
        FROM ex e JOIN norms n ON n.vec_id = e.vec_id),
 unorm AS (SELECT vec_id, sqrt(sum(u * u)) AS un FROM un GROUP BY 1),
 {_lloyd_sql},
-cnf AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM cent2 GROUP BY 1),
+cnf AS (SELECT cell, CASE WHEN sqrt(sum(w * w)) = 0 THEN 1.0
+  ELSE sqrt(sum(w * w)) END AS cn FROM cent2 GROUP BY 1),
 cdots AS (SELECT a.vec_id, c.cell,
   round(sum(a.v * c.w) / (na.nrm * cn.cn), 4) AS cos
   FROM ex a JOIN cent2 c ON c.i = a.i

@@ -89,6 +89,32 @@ CASES = [
     ("control_chars_in_text",
      "<p>a\x01b\x7fc d\x0be</p>",
      "abc de"),  # C0 controls (incl \x0b) and DEL removed
+    # '<!--' in a non-markup context must NOT trigger EOF-comment
+    # handling (the parser consumed it; nothing is buffered) — a
+    # string-level heuristic would leak a spurious '-->' here
+    ("comment_opener_in_script_string",
+     '<p>hi</p><script>var s = "<!--";</script>bye',
+     "hi bye"),
+    ("comment_opener_in_attribute",
+     '<div title="<!--">x</div>',
+     "x"),
+    # HTML5 eof-in-* rules: constructs truncated at EOF are discarded
+    ("truncated_comment_token",
+     "<p>a</p><!-",
+     "a"),
+    ("truncated_open_tag",
+     '<p>a</p><div class="trunca',
+     "a"),
+    ("truncated_close_tag",
+     "<p>a</p></p",
+     "a"),
+    ("truncated_processing_instruction",
+     "<p>a</p><?php trunc",
+     "a"),
+    # a bare trailing '<' is TEXT per HTML5, not a truncated construct
+    ("bare_trailing_lt",
+     "<p>a</p><",
+     "a <"),
 ]
 
 
@@ -107,7 +133,7 @@ def test_corpus_hash_pinned():
         h.update(b"\x00")
         h.update(extract_text(html).encode())
         h.update(b"\x01")
-    assert h.hexdigest() == "73226baa689e75f5a12ff121ea52bb9d"
+    assert h.hexdigest() == "17767c8b0bf86c8e64a3bdff4254be3a"
 
 
 def test_unterminated_comment_does_not_eat_earlier_comments():

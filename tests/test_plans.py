@@ -164,6 +164,22 @@ def test_langid_ngram_broadcasts_weights(spark):
     )
 
 
+def test_langid_ngram_codepoint_split_evaluated_once(spark):
+    """The codepoint split must appear EXACTLY once in the physical
+    plan: if CollapseProject inlines the chars alias into the trigram
+    lambda (or the lambda references the raw expression), the regexp
+    re-runs once per trigram element — O(n^2) per document, measured
+    as a multi-minute hang on 100k-char docs vs 1.4 s materialized."""
+    from text_search_spark.operators.textstats import langid_ngram
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    plan = (
+        langid_ngram(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("regexp_extract_all") == 1, plan
+    assert "substr" not in plan.lower()
+
+
 def test_lsh_dup_pairs_no_cartesian(spark):
     """Bucketed near-dup must never degrade to an all-pairs cross join."""
     from text_search_spark.operators import ann

@@ -275,6 +275,17 @@ def test_latest_snapshot_stream_emits_upserts(spark, tmp_path):
             ("u/c", "2024-01-01 00:00:05", 9, "c v1"),
         ]
     ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    time.sleep(1.1)
+    mk(
+        [
+            # null ts loses to the real state ts -> dropped
+            ("u/a", None, 99, "a null-ts"),
+            # null url has no upsert identity -> dropped
+            (None, "2024-01-01 00:00:50", 7, "null-url"),
+            # first sighting with only a null ts still emits
+            ("u/d", None, 5, "d only-null"),
+        ]
+    ).coalesce(1).write.parquet(os.path.join(src, "b3"))
 
     stream = (
         spark.readStream.schema(
@@ -297,11 +308,15 @@ def test_latest_snapshot_stream_emits_upserts(spark, tmp_path):
         ("u/a", 3, "a v3"),
         ("u/b", 4, "b v1"),
         ("u/c", 9, "c v1"),
+        ("u/d", 5, "d only-null"),
     ]
-    # last upsert per url == the batch operator's winners
+    # last upsert per url == the batch operator's winners (null-url
+    # rows excluded: the stream documents dropping them)
     from text_search_spark.operators.webtext import latest_snapshot
 
-    all_pages = spark.read.parquet(os.path.join(src, "*"))
+    all_pages = spark.read.parquet(os.path.join(src, "*")).where(
+        F.col("url").isNotNull()
+    )
     batch = {
         r.url: (r.fetch_id, r.text)
         for r in latest_snapshot(

@@ -38,6 +38,22 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def _argmax_lang(langs, score_col) -> F.Column:
+    """argmax over per-language score columns with ties won by the
+    FIRST language in `langs`: fold from the right with >= so an
+    earlier language displaces an equal-scoring later one. The single
+    definition keeps the tie-break in lock-step across every operator
+    that predicts a language (its SQL rendition lives in the
+    entry oracles' CASE chain)."""
+    pred = F.lit(langs[-1])
+    best = score_col(langs[-1])
+    for lang in reversed(langs[:-1]):
+        c = score_col(lang)
+        pred = F.when(c >= best, F.lit(lang)).otherwise(pred)
+        best = F.when(c >= best, c).otherwise(best)
+    return pred
+
+
 def langid_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, <lang>_cnt..., pred_lang) via marker-stopword counts; tie-break
     follows LANG_ORDER. A deterministic n-gram-free heuristic — the honest
@@ -51,14 +67,10 @@ def langid_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         )
         cols.append(cnt.alias(f"{lang}_cnt"))
     out = df.select(*cols)
-    pred = F.lit(LANG_ORDER[-1])
-    # argmax with first-in-order winning ties: fold from the right
-    best = F.col(f"{LANG_ORDER[-1]}_cnt")
-    for lang in reversed(LANG_ORDER[:-1]):
-        c = F.col(f"{lang}_cnt")
-        pred = F.when(c >= best, F.lit(lang)).otherwise(pred)
-        best = F.when(c >= best, c).otherwise(best)
-    return out.withColumn("pred_lang", pred)
+    return out.withColumn(
+        "pred_lang",
+        _argmax_lang(LANG_ORDER, lambda lg: F.col(f"{lg}_cnt")),
+    )
 
 
 def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -146,26 +158,44 @@ def langid_ngram(
         wrows,
         "feat string, " + ", ".join(f"w_{lg} long" for lg in langs),
     )
-    t = F.lower(F.col(text_col))
-    n = F.length(t)
+    # ONE linear pass splits the text into codepoints ('(?s).' matches
+    # any single code point incl. newlines and astral pairs — the same
+    # unit substr counts, so feature strings are unchanged); trigrams
+    # then come from O(1) element_at over that array. Per-index
+    # t.substr(i, k) instead seeks the i-th codepoint from the string
+    # start on every call — O(n^2) per document on non-ASCII text. The
+    # array MUST be materialized as its own projected column before the
+    # lambda references it: an expression used inside transform()'s
+    # lambda is re-evaluated per element (no cross-lambda CSE), which
+    # would re-run the regexp once per trigram — O(n^2) again, measured
+    # as a multi-minute hang on 100k-char docs.
+    chars_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("(?s)."), 0
+        ).alias("chars"),
+    )
+    ch = F.col("chars")
+    n = F.size(ch)
     empty = F.array().cast("array<string>")
-    uni = F.when(
-        n >= 1,
-        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(1))),
-    ).otherwise(empty)
     tri = F.when(
         n >= 3,
         F.transform(
-            F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat(
+                F.element_at(ch, i),
+                F.element_at(ch, i + 1),
+                F.element_at(ch, i + 2),
+            ),
         ),
     ).otherwise(empty)
     # explode_outer keeps a (doc, NULL) row for feature-less docs and the
     # weight join is LEFT, so every doc survives to the groupBy — no
     # second docs-side join (which would plan as a sort-merge shuffle of
     # the whole corpus). One broadcast join + ONE map-side-combined agg.
-    feats = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(F.concat(uni, tri)).alias("feat"),
+    feats = chars_df.select(
+        "doc_id",
+        F.explode_outer(F.concat(ch, tri)).alias("feat"),
     )
     out = (
         feats.join(F.broadcast(wdf), "feat", "left")
@@ -179,13 +209,10 @@ def langid_ngram(
             ]
         )
     )
-    pred = F.lit(langs[-1])
-    best = F.col(f"s_{langs[-1]}")
-    for lg in reversed(langs[:-1]):
-        c = F.col(f"s_{lg}")
-        pred = F.when(c >= best, F.lit(lg)).otherwise(pred)
-        best = F.when(c >= best, c).otherwise(best)
-    return out.withColumn("pred_lang_ngram", pred)
+    return out.withColumn(
+        "pred_lang_ngram",
+        _argmax_lang(langs, lambda lg: F.col(f"s_{lg}")),
+    )
 
 
 def profile(
@@ -249,13 +276,10 @@ def profile(
         ]
     )
     out = df.select(*cols)
-    pred = F.lit(LANG_ORDER[-1])
-    best = F.col(f"{LANG_ORDER[-1]}_cnt")
-    for lang in reversed(LANG_ORDER[:-1]):
-        c = F.col(f"{lang}_cnt")
-        pred = F.when(c >= best, F.lit(lang)).otherwise(pred)
-        best = F.when(c >= best, c).otherwise(best)
-    return out.withColumn("pred_lang", pred)
+    return out.withColumn(
+        "pred_lang",
+        _argmax_lang(LANG_ORDER, lambda lg: F.col(f"{lg}_cnt")),
+    )
 
 
 # BPE-ish segmentation regex: word pieces = runs of letters, runs of

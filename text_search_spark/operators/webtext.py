@@ -94,12 +94,12 @@ def latest_snapshot(
     if tiebreak_col:
         fields.append(F.col(tiebreak_col).alias("_tie"))
     fields += [F.col(c).alias(c) for c in payload_cols]
-    agg = df.groupBy(F.col(url_col).alias("url")).agg(
+    agg = df.groupBy(F.col(url_col)).agg(
         F.max(F.struct(*fields)).alias("kept"),
         F.count(F.lit(1)).alias("n_snapshots"),
     )
     out = [
-        F.col("url"),
+        F.col(url_col),
         F.col("kept._ts").alias(ts_col),
     ]
     if tiebreak_col:
@@ -141,22 +141,28 @@ def host_filter(
     text_col: str = "text",
     min_docs: int = 2,
     min_avg_chars: float = 0.0,
-    broadcast_max_hosts: int = 10_000_000,
+    broadcast_max_hosts: int = 1_000_000,
 ) -> DataFrame:
     """Drop pages whose host fails the rollup thresholds (too few
     pages to judge, or average page too short — boilerplate mills).
 
-    The passing-host list is joined back broadcast when its size is
-    under ``broadcast_max_hosts`` (counted with one cheap agg over the
-    already-tiny rollup); above that it degrades to a hash join on
-    host — never a window over the page table."""
+    The rollup runs ONCE: its passing hosts are pulled with a single
+    ``limit(max+1).collect()`` and, when they fit ``broadcast_max_hosts``
+    (the common case — a verdict list is tiny next to the corpus),
+    joined back as a broadcast local relation, so the page table is
+    scanned once for stats and once for the filtered read — not twice
+    for stats. Verdict lists above the cap fall back to recomputing
+    the rollup inside a hash join on host — never a window over the
+    page table."""
     stats = host_stats(df, url_col=url_col, text_col=text_col, lang_col=None)
     good = stats.where(
         (F.col("n_docs") >= min_docs) & (F.col("avg_chars") >= min_avg_chars)
     ).select("host")
-    n_good = good.count()
-    if n_good <= broadcast_max_hosts:
-        good = F.broadcast(good)
+    rows = good.limit(broadcast_max_hosts + 1).collect()
+    if len(rows) <= broadcast_max_hosts:
+        good = F.broadcast(
+            df.sparkSession.createDataFrame(rows, "host string")
+        )
     return df.join(
         good, host_col(F.col(url_col)) == good["host"], "inner"
     ).drop(good["host"])

@@ -249,9 +249,16 @@ def _snapshot_fn(
         if not len(pdf):
             continue
         # collapse WITHIN the batch first: keep each url's max
-        # (warc_ts, fetch_id) row, so state sees one candidate per url
+        # (warc_ts, fetch_id) row, so state sees one candidate per url.
+        # na_position='first' makes a null warc_ts LOSE to any real
+        # timestamp (pandas sorts NaT last by default — the opposite of
+        # the batch operator's pinned null contract); NaT that still
+        # wins (all-null url) becomes int64-min below and can never
+        # beat a real state entry.
         pdf = (
-            pdf.sort_values(["url", "warc_ts", "fetch_id"])
+            pdf.sort_values(
+                ["url", "warc_ts", "fetch_id"], na_position="first"
+            )
             .groupby("url", sort=True)
             .tail(1)
             .reset_index(drop=True)
@@ -321,6 +328,12 @@ def latest_snapshot_stream(
     before the state compare. Downstream, the upsert stream is exactly
     what an Iceberg MERGE-by-url sink consumes.
 
+    Contract differences vs the batch operator: rows with a null url
+    are DROPPED (an upsert stream keyed by url has no identity for
+    them — the batch form keeps them as their own group), and
+    fetch_id must be non-null. A null warc_ts loses to any real
+    timestamp, matching the batch null contract.
+
     State: per url-bucket (pmod(xxhash64(url))), three sorted parallel
     arrays url/ts/tie — the payload is NOT stored (it is emitted the
     moment it wins). State size is the distinct-url count, i.e. the
@@ -329,7 +342,8 @@ def latest_snapshot_stream(
     collapse refetch churn before the sink (same bounded-epoch options
     as dedup_stream_epoch apply)."""
     return (
-        pages.withColumn(
+        pages.where(F.col("url").isNotNull())
+        .withColumn(
             "bucket",
             F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"),
         )

@@ -77,6 +77,11 @@ _SKIP_CONTENT_TAGS = frozenset({"script", "style", "template"})
 # reference's replace_control_char post-processing step (clean.py:14-18).
 _CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 
+# markup constructs that, left incomplete at EOF, are discarded per the
+# HTML5 eof-in-comment / eof-in-tag / bogus-comment tokenizer rules:
+# '<!', '<?', '</', or '<' + tag-name letter (a bare '<' is text)
+_INCOMPLETE_MARKUP_RE = re.compile(r"<(?:!|\?|/|[a-zA-Z])")
+
 
 class _TextExtractor(HTMLParser):
     def __init__(self) -> None:
@@ -107,15 +112,21 @@ def extract_text(html: bytes | str) -> str:
     """
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
-    # HTML5: an unterminated comment runs to end-of-input and its content
-    # is ignored; stdlib HTMLParser instead re-emits the tail as text.
-    # Truncated pages are common in web crawls — close the comment so the
-    # tail is dropped, matching the spec (and BeautifulSoup's builders).
-    i = html.rfind("<!--")
-    if i != -1 and "-->" not in html[i:]:
-        html = html + "-->"
     p = _TextExtractor()
     p.feed(html)
+    # HTML5 end-of-file rules: a construct truncated at EOF — comment
+    # ('<!--…'), bogus comment ('<!…', '<?…'), or tag ('<div cla',
+    # '</p'…) — is discarded, never emitted as text; stdlib HTMLParser
+    # instead re-emits the buffered tail as text on close(). Truncated
+    # pages are common in web crawls. The parser's own buffer is the
+    # context-aware signal: rawdata holds a markup prefix exactly when a
+    # REAL construct was left incomplete — a '<!--' inside a script
+    # string or an attribute value is consumed by feed() and never
+    # buffered (string-level rfind heuristics get those wrong and leak
+    # a spurious '-->' into the text). A bare trailing '<' is NOT a
+    # construct (HTML5 emits it as text) and is kept.
+    if _INCOMPLETE_MARKUP_RE.match(p.rawdata):
+        p.rawdata = ""
     p.close()
     text = " ".join(p.chunks)
     text = _CTRL_RE.sub("", text)
