@@ -197,3 +197,45 @@ def test_topk_rows_fast_paths_identical(spark, built):
     finally:
         qm.DRIVER_SCORE_MAX_POSTINGS = old
     assert rows_exec == df_rows
+
+
+def test_topk_tie_break_on_identical_docs(spark, tmp_path):
+    """25 byte-identical docs score identically on a single-term query;
+    every path (DataFrame, driver sidecar, executor scorer) must keep
+    the k SMALLEST doc_ids — a bare argpartition keeps an arbitrary
+    tied subset and breaks rank-identity between the paths."""
+    import text_search_spark.index.query as qm
+    from text_search_spark.index.query import bm25_topk_rows
+
+    ix = str(tmp_path / "tie_ix")
+    pdf = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(25)],
+        "doc_id long, text string",
+    )
+    build_index(
+        spark,
+        prepare_corpus(pdf, doc_id_col="doc_id"),
+        ix,
+        n_buckets=4,
+        n_shards=2,
+        bucket_groups=1,
+    )
+    specs = [QuerySpec("q", ["ALPHA"], "or")]
+    want_ids = list(range(10))
+
+    df_rows = sorted(
+        (r.rank, r.doc_id) for r in
+        bm25_topk_df(spark, ix, specs, k=10).collect()
+    )
+    assert [d for _, d in df_rows] == want_ids
+
+    driver_rows = sorted(bm25_topk_rows(spark, ix, specs, k=10))
+    assert [r[2] for r in driver_rows] == want_ids
+
+    old = qm.DRIVER_SCORE_MAX_POSTINGS
+    try:
+        qm.DRIVER_SCORE_MAX_POSTINGS = 0  # force the executor fast path
+        exec_rows = sorted(bm25_topk_rows(spark, ix, specs, k=10))
+    finally:
+        qm.DRIVER_SCORE_MAX_POSTINGS = old
+    assert [r[2] for r in exec_rows] == want_ids

@@ -127,3 +127,34 @@ def test_resume_refuses_other_format_version(spark, tmp_path):
         B.build_index(
             spark, corpus, ix, n_buckets=4, n_shards=2, bucket_groups=2
         )
+
+
+def test_resume_adopts_persisted_bucket_groups(spark, tmp_path):
+    """'segments:{g}' checkpoints are only valid under the group layout
+    that wrote them: a resume called with a DIFFERENT bucket_groups must
+    adopt the persisted layout, not re-derive groups and silently skip
+    buckets (group 0 of 4 covers buckets {0,4,...}; re-grouped by 2 the
+    same checkpoint name would wrongly claim buckets {0,2,4,...})."""
+    corpus = _corpus(spark)
+    clean_dir = str(tmp_path / "clean_bg")
+    resumed_dir = str(tmp_path / "resumed_bg")
+
+    build_index(
+        spark, corpus, clean_dir, n_buckets=4, n_shards=2, bucket_groups=4
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            spark, corpus, resumed_dir,
+            n_buckets=4, n_shards=2, bucket_groups=4,
+            fail_after="segments:1",
+        )
+    # resume with a conflicting layout request
+    build_index(
+        spark, corpus, resumed_dir,
+        n_buckets=4, n_shards=2, bucket_groups=2,
+    )
+    man = fmt.load_manifest(resumed_dir)
+    assert man.complete and man.bucket_groups == 4
+    assert _index_fingerprint(spark, resumed_dir) == _index_fingerprint(
+        spark, clean_dir
+    )

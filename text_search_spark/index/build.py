@@ -268,11 +268,6 @@ def _build_chunk_arrays(
 _OUT_ROWS = 128
 
 
-def _sliced(df: pd.DataFrame) -> Iterator[pd.DataFrame]:
-    for s in range(0, len(df), _OUT_ROWS):
-        yield df.iloc[s : s + _OUT_ROWS]
-
-
 _SEG_ARROW_SCHEMA = None
 
 
@@ -995,6 +990,7 @@ def build_index(
             n_buckets=n_buckets or 0,
             n_shards=n_shards or 0,
             run_id=run_id,
+            bucket_groups=bucket_groups,
         )
         fmt.save_manifest(index_dir, man)
     else:
@@ -1010,6 +1006,12 @@ def build_index(
             )
         n_buckets, n_shards = man.n_buckets, man.n_shards
         auto = n_buckets == 0  # crashed before doc_stats sized it
+        # the 'segments:{g}' checkpoints are only valid under the group
+        # layout that wrote them — adopt the persisted bucket_groups
+        # (like n_buckets/n_shards above) so a resume with a different
+        # caller value cannot skip that layout's unbuilt buckets
+        if man.bucket_groups:
+            bucket_groups = man.bucket_groups
 
     def checkpoint(stage: str) -> None:
         man.stages[stage] = True
@@ -1033,7 +1035,16 @@ def build_index(
             corpus.select(
                 "doc_id",
                 "url",
-                F.size(spark_tokens(F.col("text"))).alias("doc_len"),
+                # same null-coalesce as the grouper (grouped_terms):
+                # text=NULL must count as doc_len 0 — bare size() gives
+                # NULL under ANSI mode and -1 under ansi=false, either
+                # of which corrupts total_tokens/avgdl and every score
+                F.size(
+                    F.coalesce(
+                        spark_tokens(F.col("text")),
+                        F.array().cast("array<string>"),
+                    )
+                ).alias("doc_len"),
             )
             .write.mode("overwrite")
             .parquet(fmt.doc_stats_dir(index_dir))
@@ -1132,6 +1143,8 @@ def build_index(
         )
         checkpoint("tokens")
 
+    _POM_KEY = "spark.sql.sources.partitionOverwriteMode"
+    _prev_pom = spark.conf.get(_POM_KEY, None)
     try:
         # ---- stage: vocab (the term dictionary; distinct terms only, so the
         # map-side-combined shuffle is tiny next to the posting shuffle;
@@ -1178,12 +1191,12 @@ def build_index(
         groups: List[List[int]] = [
             list(range(g, n_buckets, bucket_groups)) for g in range(bucket_groups)
         ]
-        seg_schema = (
-            "term_bucket int, term_id long, shard int, df_part long, "
-            "cf_part long, postings binary, positions binary, "
-            "blockmax binary, bm_avgdl double"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        seg_schema = "term_bucket int, " + fmt.SEGMENT_SCHEMA
+        # dynamic mode scopes each group's overwrite to the partitions it
+        # writes; saved before the try and restored in its finally so the
+        # session-wide overwrite semantics of the CALLER's later
+        # partitioned writes are not silently changed
+        spark.conf.set(_POM_KEY, "dynamic")
         for gi, buckets in enumerate(groups):
             stage_name = f"segments:{gi}"
             if man.stages.get(stage_name):
@@ -1254,8 +1267,12 @@ def build_index(
                 # locally)
                 .observe(
                     obs,
-                    F.coalesce(F.sum("df_part"), F.lit(0)).alias("docs"),
-                    F.coalesce(F.sum("cf_part"), F.lit(0)).alias("postings"),
+                    # postings emitted = one per (term, doc) = sum of the
+                    # per-segment-row df partials; docs-tokenized belongs
+                    # to the doc_stats stage row, not a bucket group
+                    F.coalesce(F.sum("df_part"), F.lit(0)).alias(
+                        "postings"
+                    ),
                     F.coalesce(F.sum(F.length("postings")), F.lit(0)).alias(
                         "nbytes"
                     ),
@@ -1267,20 +1284,23 @@ def build_index(
                 .parquet(fmt.segments_dir(index_dir))
             )
             got = obs.get
-            docs, postings, nbytes = got["docs"], got["postings"], got["nbytes"]
             _append_metrics(
                 spark,
                 index_dir,
                 run_id,
                 stage_name,
                 f"buckets:{buckets}",
-                docs,
-                postings,
-                nbytes,
+                0,
+                got["postings"],
+                got["nbytes"],
             )
             checkpoint(stage_name)
 
     finally:
+        if _prev_pom is None:
+            spark.conf.unset(_POM_KEY)
+        else:
+            spark.conf.set(_POM_KEY, _prev_pom)
         # unpersist even on an injected/real failure — a leaked
         # cached posting relation would shadow the next attempt's
         # block-manager budget for the session's lifetime

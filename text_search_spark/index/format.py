@@ -67,6 +67,12 @@ class IndexManifest:
     # build re-runs the segment stage with the same transport.
     doc_id_base: int = 0
     doc_id_narrow: bool = False
+    # resumable-unit layout: group g owns buckets range(g, n_buckets,
+    # bucket_groups), and the 'segments:{g}' checkpoints are only valid
+    # under the layout that wrote them — persisted so a resume cannot
+    # silently skip buckets by re-deriving groups from a DIFFERENT
+    # caller-supplied bucket_groups. 0 = unset (legacy partial).
+    bucket_groups: int = 0
 
 
 def manifest_path(index_dir: str) -> str:
@@ -101,6 +107,15 @@ SEG_READ_SCHEMA = (
 
 
 VOCAB_READ_SCHEMA = "term string, term_id long, term_bucket int"
+
+# same explicit-schema discipline for the stats tables: a streaming-built
+# index has no term_stats until rebuild_term_stats runs, and an all-blank
+# corpus writes empty dirs — inference over zero files throws where an
+# empty relation is the correct answer.
+DOC_STATS_READ_SCHEMA = "doc_id long, url string, doc_len int"
+TERM_STATS_READ_SCHEMA = (
+    "term string, term_id long, df long, cf long, term_bucket int"
+)
 
 
 def segments_dir(index_dir: str) -> str:

@@ -138,11 +138,7 @@ def merge_shards(
         if out:
             yield pd.DataFrame(out, columns=_COLS)
 
-    schema = (
-        "term_bucket int, term_id long, shard int, df_part long, "
-        "cf_part long, postings binary, positions binary, "
-        "blockmax binary, bm_avgdl double"
-    )
+    schema = "term_bucket int, " + fmt.SEGMENT_SCHEMA
     merged = (
         seg.repartition(
             max(man.n_buckets, spark.sparkContext.defaultParallelism),
@@ -155,16 +151,24 @@ def merge_shards(
     merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
         fmt.segments_dir(out_dir)
     )
-    # stats tables + manifest carry over (doc space unchanged)
-    spark.read.parquet(fmt.doc_stats_dir(index_dir)).write.mode(
-        "overwrite"
-    ).parquet(fmt.doc_stats_dir(out_dir))
+    # stats tables + manifest carry over (doc space unchanged). Explicit
+    # schemas + makedirs: a streaming-built index has no term_stats dir
+    # until rebuild_term_stats runs (the merged copy is then empty and
+    # likewise needs a rebuild), and an all-blank index has empty dirs —
+    # neither may crash the merge on schema inference / missing path.
+    os.makedirs(fmt.doc_stats_dir(index_dir), exist_ok=True)
+    os.makedirs(fmt.term_stats_dir(index_dir), exist_ok=True)
+    spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
+        fmt.doc_stats_dir(index_dir)
+    ).write.mode("overwrite").parquet(fmt.doc_stats_dir(out_dir))
     spark.read.schema(fmt.VOCAB_READ_SCHEMA).parquet(
         fmt.vocab_dir(index_dir)
     ).write.mode(
         "overwrite"
     ).partitionBy("term_bucket").parquet(fmt.vocab_dir(out_dir))
-    spark.read.parquet(fmt.term_stats_dir(index_dir)).write.mode(
+    spark.read.schema(fmt.TERM_STATS_READ_SCHEMA).parquet(
+        fmt.term_stats_dir(index_dir)
+    ).write.mode(
         "overwrite"
     ).partitionBy("term_bucket").parquet(fmt.term_stats_dir(out_dir))
     new_man = fmt.IndexManifest(

@@ -45,7 +45,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..codec import (
+    B,
     BLOCK,
+    K1,
     decode_block_postings,
     decode_blockmax,
     decode_positions,
@@ -54,8 +56,9 @@ from ..codec import (
 from ..textnorm import tokenize
 from . import format as fmt
 
-K1 = 1.2
-B = 0.75
+# K1/B live in codec (imported above): the block-max bounds stored at
+# build time (codec.tf_saturation) and the scoring here MUST share one
+# definition or the MaxScore caps stop being upper bounds.
 
 
 @dataclass
@@ -70,21 +73,35 @@ class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        m = fmt.load_manifest(index_dir)
-        if m is None or not m.complete:
-            raise ValueError(f"no complete index at {index_dir}")
-        if m.format_version != fmt.FORMAT_VERSION:
-            raise ValueError(
-                f"index format v{m.format_version} at {index_dir}; this "
-                f"reader needs v{fmt.FORMAT_VERSION} — rebuild the index"
-            )
-        self.manifest = m
+        self.manifest = self._load_validated()
         self._df_cache: Dict[str, int] = {}
         self._segments_df: Optional[DataFrame] = None
 
+    def _load_validated(self) -> "fmt.IndexManifest":
+        """Load + validate the manifest — shared by __init__ and
+        refresh() so a reader can never silently hold a None /
+        incomplete / other-format manifest (e.g. the index dir was
+        deleted for a rebuild while this reader was open)."""
+        m = fmt.load_manifest(self.index_dir)
+        if m is None or not m.complete:
+            raise ValueError(f"no complete index at {self.index_dir}")
+        if m.format_version != fmt.FORMAT_VERSION:
+            raise ValueError(
+                f"index format v{m.format_version} at {self.index_dir}; "
+                f"this reader needs v{fmt.FORMAT_VERSION} — rebuild the "
+                "index"
+            )
+        if (m.k1, m.b) != (K1, B):
+            raise ValueError(
+                f"index was built for BM25 k1={m.k1} b={m.b}; this "
+                f"engine scores with k1={K1} b={B} (codec.K1/B) — "
+                "block-max bounds would not match the scorer"
+            )
+        return m
+
     def refresh(self) -> None:
         """Re-read the manifest (after incremental appends)."""
-        self.manifest = fmt.load_manifest(self.index_dir)
+        self.manifest = self._load_validated()
         self._df_cache.clear()
         self._segments_df = None
 
@@ -100,10 +117,14 @@ class IndexReader:
         return self._segments_df
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(fmt.term_stats_dir(self.index_dir))
+        return self.spark.read.schema(fmt.TERM_STATS_READ_SCHEMA).parquet(
+            fmt.term_stats_dir(self.index_dir)
+        )
 
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(fmt.doc_stats_dir(self.index_dir))
+        return self.spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
+            fmt.doc_stats_dir(self.index_dir)
+        )
 
     def ids_for(self, terms: Sequence[str]) -> Dict[str, int]:
         """term -> term_id via a driver-side XXH64 bit-identical to the
@@ -300,6 +321,22 @@ class _TermPostings:
             ]
         ) if order.size else np.empty(0, np.int64)
         return d[order], t[order], flat_all[take]
+
+
+def _topk_tiebreak(p: np.ndarray, docs: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k best scores with ties broken by doc_id asc —
+    the SAME (score desc, doc_id asc) discipline as _shard_scorer's
+    lexsort, so every local selection preserves rank-identity with the
+    full path. A bare np.argpartition keeps an ARBITRARY subset of
+    boundary ties (e.g. duplicated pages with identical tf/dl), which
+    can drop the doc the global merge's tie-break would keep."""
+    if p.size <= k:
+        return np.arange(p.size)
+    part = np.argpartition(-p, k - 1)
+    kth = p[part[k - 1]]
+    cand = np.flatnonzero(p >= kth)
+    order = np.lexsort((docs[cand], -p[cand]))
+    return cand[order[:k]]
 
 
 def _partial(w: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float):
@@ -686,10 +723,7 @@ def _score_single_term_local(
                 continue
             for query_id, w in specs:
                 p = _partial(w, tfs, dls, avgdl)
-                if p.size > k:
-                    idx = np.argpartition(-p, k - 1)[:k]
-                else:
-                    idx = np.arange(p.size)
+                idx = _topk_tiebreak(p, docs, k)
                 out.extend(
                     (query_id, int(docs[j]), float(p[j])) for j in idx
                 )
@@ -717,10 +751,7 @@ def _single_term_scorer(qplan: Dict[int, List[Tuple[str, float]]],
                     continue
                 for query_id, w in specs:
                     p = _partial(w, f, l, avgdl)
-                    if p.size > k:
-                        idx = np.argpartition(-p, k - 1)[: k]
-                    else:
-                        idx = np.arange(p.size)
+                    idx = _topk_tiebreak(p, d, k)
                     out_q.extend([query_id] * idx.size)
                     out_d.extend(d[idx].tolist())
                     out_s.extend(p[idx].tolist())

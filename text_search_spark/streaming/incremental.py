@@ -145,11 +145,7 @@ def _append_batch(
         fmt.vocab_dir(index_dir),
         batch_id,
     )
-    seg_schema = (
-        "term_bucket int, term_id long, shard int, df_part long, "
-        "cf_part long, postings binary, positions binary, "
-        "blockmax binary, bm_avgdl double"
-    )
+    seg_schema = "term_bucket int, " + fmt.SEGMENT_SCHEMA
     seg = (
         tokens.repartition(
             max(n_buckets, spark.sparkContext.defaultParallelism),
