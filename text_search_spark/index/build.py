@@ -155,6 +155,7 @@ def _build_chunk_arrays(
         _HDR_DTYPE,
         _PREFIX_DTYPE,
         BLOCK,
+        f32_upper,
         tf_saturation,
         varbyte_encode_with_sizes,
     )
@@ -233,8 +234,9 @@ def _build_chunk_arrays(
         pos_data[s:e].tobytes() for s, e in zip(g_pos_start, g_pos_end)
     ]
 
-    # ---- block-max sidecar ----
-    sat = tf_saturation(tfs, dls, avgdl).astype(np.float32)
+    # ---- block-max sidecar (f32_upper: the narrowed bound must stay
+    # an UPPER bound of the exact f64 saturation — codec.f32_upper) ----
+    sat = f32_upper(tf_saturation(tfs, dls, avgdl))
     blk_end_run = np.minimum(
         blk_start_run + BLOCK, run_g_start[blk_grp] + nd[blk_grp]
     )
@@ -548,6 +550,7 @@ def _encode_group_streaming(
         _HDR_DTYPE,
         _PREFIX_DTYPE,
         BLOCK,
+        f32_upper,
         tf_saturation,
         varbyte_encode_with_sizes,
     )
@@ -593,7 +596,7 @@ def _encode_group_streaming(
             hdr["nd"] = e - s
             hdr["nbytes"] = len(blk)
             headers.append(hdr.tobytes())
-            sat = tf_saturation(tf[s:e], dl[s:e], avgdl).astype(np.float32)
+            sat = f32_upper(tf_saturation(tf[s:e], dl[s:e], avgdl))
             bm = np.empty(1, dtype=_BM_DTYPE)
             bm["max_sat"] = sat.max()
             bm["last_doc"] = np.uint64(d[-1])

@@ -205,6 +205,26 @@ def _centroids(
     return out
 
 
+def _unit_rows(
+    vectors: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, u: array<double>) with u = v / ||v||, the EXACT division
+    the DuckDB oracle computes (bit-identical f64). Measured (not
+    assumed): the norm aggregate referenced inside the transform lambda
+    is hoisted and evaluated once per ROW here — d=1024→4096 at flat
+    wall time — unlike the regexp-in-lambda case langid_ngram pins, so
+    no materialization step is needed. An MLlib Normalizer variant was
+    built and REVERTED: it multiplies by the reciprocal, which
+    bit-differed from the oracle's division on 302/500 fixture rows
+    (sub-ulp noise the downstream rounding only probabilistically
+    absorbs) and measured ~1.8x slower."""
+    arr = F.col(vec_col).cast("array<double>")
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(arr, lambda x: x / _norm(arr)).alias("u"),
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_cells: int,
@@ -228,11 +248,9 @@ def kmeans_centroids(
     # k-means up to centroid scaling, aligning the trained partition with
     # the cosine assignment rule (training on raw vectors lets norm
     # variation split direction-clusters: measured recall@5 0.65 -> >0.9)
-    unit = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: x / _norm(F.col(vec_col).cast("array<double>")),
-    )
-    feats = vectors.select(array_to_vector(unit).alias("features"))
+    feats = _unit_rows(vectors, id_col, vec_col).select(
+        array_to_vector(F.col("u")).alias("features")
+    )  # exact-division unit vectors (see _unit_rows)
     model = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter, initMode="k-means||"
     ).fit(feats)
@@ -282,13 +300,7 @@ def lloyd_centroids(
     [(cell, vec, norm)]."""
     from pyspark.sql import functions as F
 
-    unit = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: x / _norm(F.col(vec_col).cast("array<double>")),
-    )
-    base = vectors.select(
-        F.col(id_col).alias("id"), unit.alias("u")
-    )
+    base = _unit_rows(vectors, id_col, vec_col)
     init_rows = base.orderBy("id").limit(n_cells).collect()
     cents = []
     for cell, r in enumerate(init_rows):

@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .. import textnorm
 from ..kernels import is_overlap
 
 try:  # the reference's pattern needs variable-width lookbehind
@@ -65,12 +66,12 @@ except ImportError:  # pragma: no cover - regex is present in this env
         return False
 
 
-# punctuation classes — spec constants required for boundary parity,
-# /root/reference/textsearch/python/textsearch/utils.py:12-17
-_PUNCT_ALL = set("'.,;?!():-<>/\"。，；？！（）：-《》【】”“")
-_PUNCT_EOS = set(".?,，!。？！")
-_PUNCT_LEFT = set("\"'(<《【“")
-_PUNCT_RIGHT = set("\"')>》】”")
+# punctuation classes — the spec constants live ONCE in textnorm
+# (utils.py:12-17 parity); set() views here for O(1) membership
+_PUNCT_ALL = set(textnorm.PUNCT_ALL)
+_PUNCT_EOS = set(textnorm.PUNCT_EOS)
+_PUNCT_LEFT = set(textnorm.PUNCT_LEFT)
+_PUNCT_RIGHT = set(textnorm.PUNCT_RIGHT)
 
 _PERIOD_WINDOW = 5  # longest abbreviation the period rule looks behind
 _HALF_REGION = 20  # errors-in-region half window (match.py:632)
@@ -141,6 +142,14 @@ def break_query(
             else:
                 q_s, q_e = prev[0], matched_points[ind - 1][0]
                 t_s, t_e = prev[1], matched_points[ind - 1][1]
+                if q_e == q_s:
+                    # degenerate piece: the LIS chain repeats a query
+                    # position at the break anchor (close-matches emit
+                    # several refs per qpos). The reference's unguarded
+                    # division (match.py:187) would raise here; treat it
+                    # as the out-of-band-ratio case instead — identical
+                    # behavior on every input the reference survives
+                    continue
                 ratio = (t_e - t_s) / (q_e - q_s)
                 if ratio < lo_r or ratio > hi_r:
                     # drop ratio-violating piece, keep the break anchor
@@ -206,6 +215,11 @@ def _punct_before(target_text: str, ref_pos: int, score: float) -> float:
         c = target_text[j]
         if c in _PUNCT_EOS:
             if c == ".":
+                # deliberate parity quirk: for j < _PERIOD_WINDOW the
+                # negative slice start wraps (grabs tail text) — the
+                # reference's numpy slice (match.py:715-718) does the
+                # SAME, so a period in the first 5 chars scores exactly
+                # as the reference scores it; do not "fix" with max(0,·)
                 window = target_text[j - _PERIOD_WINDOW : j + 1]
                 if _real_sentence_period(window) and n_spaces >= 1:
                     return score
@@ -261,13 +275,20 @@ def get_segment_candidates(
     expected_duration: Tuple[float, float] = (5.0, 20.0),
     max_error_rate: float = 0.15,
     num_of_best_position: int = 4,
+    has_times: bool = True,
 ) -> List[Tuple[int, int, float]]:
     """Candidate (start, end, score) segments over align positions.
 
     Begin/end scores = capped silence + punctuation context − local error
     density (±20 sliding window); candidate pairs are formed begin->end
     and end->begin with a bounded heap of num_of_best_position per point,
-    gated on duration band and max_error_rate. match.py:563-997."""
+    gated on duration band and max_error_rate. match.py:563-997.
+
+    has_times=False (our text-only extension; the reference pipeline
+    always has ASR timestamps): every hyp_time is 0, so the duration
+    band and duration score are DISABLED — with them active every
+    candidate has dur=0 <= min_duration and the split silently returns
+    nothing."""
     n = len(aligns)
     if n == 0:
         return []
@@ -328,20 +349,21 @@ def get_segment_candidates(
             return None
         match_score = _BASE_SCORE * (cum_match[e] - cum_match[b]) / span
         err_score = _BASE_SCORE * total_err / span
-        dur = hyp_time[e] - hyp_time[b]
         dur_score = _BASE_SCORE
-        if dur < expected_duration[0]:
-            dur_score -= (
-                (dur - min_duration)
-                / (expected_duration[0] - min_duration)
-                * _BASE_SCORE
-            )
-        if dur > expected_duration[1]:
-            dur_score -= (
-                (max_duration - dur)
-                / (max_duration - expected_duration[1])
-                * _BASE_SCORE
-            )
+        if has_times:
+            dur = hyp_time[e] - hyp_time[b]
+            if dur < expected_duration[0]:
+                dur_score -= (
+                    (dur - min_duration)
+                    / (expected_duration[0] - min_duration)
+                    * _BASE_SCORE
+                )
+            if dur > expected_duration[1]:
+                dur_score -= (
+                    (max_duration - dur)
+                    / (max_duration - expected_duration[1])
+                    * _BASE_SCORE
+                )
         return point_score + match_score - err_score + dur_score
 
     candidates: List[Tuple[int, int, float]] = []
@@ -353,12 +375,13 @@ def get_segment_candidates(
         last_ind = ind
         while 0 <= ind < len(end_scores):
             e = end_scores[ind][0]
-            dur = hyp_time[e] - hyp_time[item[0]]
-            if dur <= min_duration:
-                ind += 1
-                continue
-            if dur > max_duration:
-                break
+            if has_times:
+                dur = hyp_time[e] - hyp_time[item[0]]
+                if dur <= min_duration:
+                    ind += 1
+                    continue
+                if dur > max_duration:
+                    break
             s = _seg_score(item[0], e, item[1] + end_scores[ind][1])
             if s is not None:
                 heappush(heap, (s, (item[0], e)))
@@ -376,12 +399,13 @@ def get_segment_candidates(
         last_ind = ind
         while 0 <= ind < len(begin_scores):
             b = begin_scores[ind][0]
-            dur = hyp_time[item[0]] - hyp_time[b]
-            if dur <= min_duration:
-                ind -= 1
-                continue
-            if dur >= max_duration:
-                break
+            if has_times:
+                dur = hyp_time[item[0]] - hyp_time[b]
+                if dur <= min_duration:
+                    ind -= 1
+                    continue
+                if dur >= max_duration:
+                    break
             s = _seg_score(b, item[0], begin_scores[ind][1] + item[1])
             if s is not None:
                 heappush(heap, (s, (b, item[0])))
@@ -409,10 +433,14 @@ def split_into_segments(
     expected_duration: Tuple[float, float] = (5.0, 20.0),
     max_error_rate: float = 0.15,
     num_of_best_position: int = 4,
+    has_times: bool = True,
 ) -> List[Dict]:
     """Candidates -> score-sorted greedy non-overlap selection
     (kernels.is_overlap) -> boundary trimming -> segment dicts.
-    match.py:1000-1263."""
+    match.py:1000-1263. has_times=False: duration gates off and the
+    overlap suppression keys on hyp CHAR positions (every hyp_time is
+    0, which would make all candidates one degenerate overlapping
+    range)."""
     candidates = get_segment_candidates(
         target_text,
         aligns,
@@ -423,6 +451,7 @@ def split_into_segments(
         expected_duration=expected_duration,
         max_error_rate=max_error_rate,
         num_of_best_position=num_of_best_position,
+        has_times=has_times,
     )
     candidates = sorted(candidates, key=lambda x: x[2], reverse=True)
 
@@ -430,11 +459,15 @@ def split_into_segments(
     sel_indexes: List[int] = []
     segments: List[Tuple[int, int, float]] = []
     evicted: List[int] = []
+    range_key = "hyp_time" if has_times else "hyp_pos"
     for r in candidates:
         status, index = is_overlap(
             sel_ranges,
             sel_indexes,
-            query=(aligns[r[0]]["hyp_time"], aligns[r[1]]["hyp_time"]),
+            query=(
+                float(aligns[r[0]][range_key]),
+                float(aligns[r[1]][range_key]),
+            ),
             segment_index=len(segments),
             overlap_ratio=overlap_ratio,
         )
@@ -451,7 +484,9 @@ def split_into_segments(
     results: List[Dict] = []
     for seg in segments:
         begin_pos = aligns[seg[0]]["ref_pos"]
-        while target_text[begin_pos] == " ":
+        # bounded: a begin anchor inside trailing whitespace must stop
+        # at the end of the text, not IndexError the whole batch
+        while begin_pos < t_n and target_text[begin_pos] == " ":
             begin_pos += 1
         while begin_pos >= 1 and target_text[begin_pos - 1] in _PUNCT_LEFT:
             begin_pos -= 1
@@ -480,7 +515,8 @@ def split_into_segments(
             end_time = aligns[next_i]["hyp_time"]
 
         hyp_begin = aligns[seg[0]]["hyp_pos"]
-        while query_text[hyp_begin] == " ":
+        q_n = len(query_text)
+        while hyp_begin < q_n and query_text[hyp_begin] == " ":
             hyp_begin += 1
         hyp_end = aligns[seg[1]]["hyp_pos"]
 
@@ -568,7 +604,11 @@ def split_alignments(
     align string, times array<double>) -> segment rows, SPLIT_SCHEMA.
 
     One aligned pair per input row -> mapInPandas, no shuffle; `times`
-    may be null (hyp_time = 0, silence-based breaks disabled)."""
+    may be null — text-only mode: hyp_time = 0, silence-based breaks
+    AND the duration band are disabled (with the band active every
+    zero-duration candidate would be rejected and the row would
+    silently yield no segments), and overlap suppression keys on hyp
+    char positions."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -582,7 +622,8 @@ def split_alignments(
                     None if times is None else list(times),
                 )
                 segs = split_into_segments(
-                    qt, dt, aligns, has_punctuation=has_punctuation, **params
+                    qt, dt, aligns, has_punctuation=has_punctuation,
+                    has_times=times is not None, **params
                 )
                 for k, s in enumerate(segs):
                     rows.append(
