@@ -376,7 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def lsh_pairs(spark, sf_dir):
         # both LSH configurations, method-tagged in one gated entry:
-        # 'term' = term-set minhash (8-row bands), 'shingle3' = the
+        # 'term' = term-set minhash (4 bands of 2 rows), 'shingle3' = the
         # web-scale near-dup configuration — 3-token-shingle minhash +
         # 4-row bands (collision prob s^4 per band), where candidate
         # pairs are actual near-duplicates, not same-language
@@ -1679,7 +1679,14 @@ GROUP BY l_returnflag, l_linestatus
 
     # ---- html_extract: byte-identity of extraction checked via DuckDB —
     # the template wraps text in <body><p>, title "t", a skipped <script>;
-    # extract_text = "t " + whitespace-collapsed text ----
+    # extract_text = "t " + whitespace-collapsed text.
+    # COUPLING (by construction, would fail loudly not silently): this
+    # identity oracle assumes the documents.text corpus contains no
+    # markup-active sequences ('<'+letter, '&xx;') and no non-ASCII
+    # whitespace (extract_text's str.split() collapses U+00A0 etc.;
+    # DuckDB's '\\s+' is ASCII-only). The real extractor semantics are
+    # pinned independently on hostile markup by
+    # tests/test_html_adversarial.py (29 exact cases + corpus hash). ----
     o["html_extract"] = (
         "SELECT doc_id, md5(trim(regexp_replace('t ' || text, '\\s+', ' ', "
         "'g'))) AS extracted_fp FROM documents"

@@ -143,3 +143,40 @@ def test_doc_id_collision_fails_build(spark, tmp_path):
     with pytest.raises(ValueError, match="collision"):
         build_index(spark, df, str(tmp_path / "ix2"), n_buckets=2,
                     n_shards=1, bucket_groups=1)
+
+
+def test_empty_first_batch_does_not_lock_layout(spark, tmp_path, monkeypatch):
+    """An empty/blank leading micro-batch (recovery, no-data trigger)
+    must NOT fix the index layout: the first batch WITH tokens sizes
+    it, and from then on the layout never changes."""
+    import text_search_spark.streaming.incremental as inc
+    from text_search_spark.index import format as fmt
+
+    ix = str(tmp_path / "inc_layout")
+    empty = spark.createDataFrame([], "doc_id long, url string, text string")
+    inc._append_batch(spark, empty, ix, 0)
+    man = fmt.load_manifest(ix)
+    assert not man.stages.get("layout_from_data")
+    floor = (man.n_buckets, man.n_shards)
+
+    # the first real batch re-derives the layout (simulate a corpus big
+    # enough to outgrow the floor via a spy _auto_size)
+    monkeypatch.setattr(inc, "_auto_size", lambda t, p: (16, 8))
+    docs = spark.createDataFrame(
+        [(i, f"u{i}", "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, url string, text string",
+    )
+    inc._append_batch(spark, docs, ix, 1)
+    man = fmt.load_manifest(ix)
+    assert (man.n_buckets, man.n_shards) == (16, 8) != floor
+    assert man.stages.get("layout_from_data")
+
+    # once data exists the layout is pinned even if _auto_size changes
+    monkeypatch.setattr(inc, "_auto_size", lambda t, p: (99, 99))
+    more = spark.createDataFrame(
+        [(100 + i, f"v{i}", "epsilon zeta eta") for i in range(10)],
+        "doc_id long, url string, text string",
+    )
+    inc._append_batch(spark, more, ix, 2)
+    man = fmt.load_manifest(ix)
+    assert (man.n_buckets, man.n_shards) == (16, 8)

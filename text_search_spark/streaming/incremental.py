@@ -16,13 +16,21 @@ stream_df: a STREAMING DataFrame with (doc_id long, url string, text
 string). Caller guarantees doc_ids are new (exactly-once feed or upstream
 dedup); re-ingesting a doc_id double-counts it.
 
-Consistency model: each micro-batch commits segments + doc_stats + metrics
-first, then the manifest (single JSON rename) — a query sees either the
-pre- or post-batch index, never a torn one, because scoring statistics
-(n_docs, avgdl) come from the manifest and extra unreferenced segment rows
-only become reachable when the manifest commit lands. term_stats is NOT
-maintained per batch (it's derived data); call rebuild_term_stats() when a
-fresh stats table is needed.
+Consistency model (honest scope): each micro-batch writes segments +
+doc_stats + metrics first, then commits the manifest (single JSON
+rename). Scoring STATISTICS (n_docs, avgdl) therefore flip atomically.
+The segment FILES, however, are directory-scanned by IndexReader, not
+listed from the manifest — a reader whose query runs concurrently with
+an in-flight append can observe some but not all of that batch's part
+files (each lands via its own os.replace). Contract: appends are
+atomic per batch with respect to CRASHES (a retry replaces the batch's
+files, never duplicates), and readers that refresh()/open BETWEEN
+batch commits see consistent snapshots; for concurrent readers during
+an append, snapshot isolation needs a manifest-listed file set (the
+Iceberg-snapshot seam — not implemented; at scale the Iceberg catalog
+provides exactly this). term_stats is NOT maintained per batch (it's
+derived data); call rebuild_term_stats() when a fresh stats table is
+needed.
 """
 
 from __future__ import annotations
@@ -99,27 +107,70 @@ def _append_batch(
             format_version=fmt.FORMAT_VERSION,
             run_id=f"stream:{batch_id}",
         )
-    batch = batch.select("doc_id", "url", "text")
+    # one materialization feeds all four jobs below (doc_stats write,
+    # posting shuffle, vocab explode, metrics count) — without it each
+    # job re-reads the micro-batch source. The three tokenize passes
+    # themselves could further fuse via the batch builder's persisted
+    # grouped_terms (build.py fused path) — seam noted, not done: at
+    # micro-batch sizes the source re-read dominated, not the tokenize.
+    batch = batch.select("doc_id", "url", "text").persist()
+    try:
+        _append_batch_inner(spark, batch, index_dir, batch_id, man)
+    finally:
+        batch.unpersist()
 
-    # per-batch doc stats (batch-scoped files: retry-safe)
+
+def _append_batch_inner(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    man,
+) -> None:
+
+    # per-batch doc stats (batch-scoped files: retry-safe); same
+    # null-coalesce as the batch builder — text=NULL counts 0, not
+    # NULL (ANSI) / -1 (ansi=false)
     ds = batch.select(
-        "doc_id", "url", F.size(spark_tokens(F.col("text"))).alias("doc_len")
+        "doc_id",
+        "url",
+        F.size(
+            F.coalesce(
+                spark_tokens(F.col("text")), F.array().cast("array<string>")
+            )
+        ).alias("doc_len"),
     )
     _append_scoped(
         lambda p: ds.write.mode("overwrite").parquet(p),
         fmt.doc_stats_dir(index_dir),
         batch_id,
     )
-    stats = spark.read.parquet(fmt.doc_stats_dir(index_dir)).select(
+    stats = spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
+        fmt.doc_stats_dir(index_dir)
+    ).select(
         F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
     ).first()
     n_docs, total_tokens = int(stats[0]), int(stats[1])
 
-    if man.n_buckets == 0:  # first batch fixes the layout
+    # the FIRST batch WITH TOKENS fixes the layout: sizing from an
+    # empty/blank leading batch (possible on recovery or a no-data
+    # trigger) would lock the whole stream's lifetime at the minimum
+    # n_buckets/n_shards. Until tokens arrive the floor layout is
+    # provisional (no segment/vocab rows exist to invalidate) and is
+    # re-derived each batch.
+    if man.n_buckets == 0 or (
+        man.total_tokens == 0 and not man.stages.get("layout_from_data")
+    ):
+        # man.total_tokens is the PRE-batch committed cumulative: once
+        # any tokens have been indexed, segments exist under the fixed
+        # layout and it must never be re-derived (covers pre-flag
+        # manifests too)
         man.n_buckets, man.n_shards = _auto_size(
             max(total_tokens, 1) * 4,  # leave headroom for growth
             spark.sparkContext.defaultParallelism,
         )
+    if total_tokens > 0:
+        man.stages["layout_from_data"] = True
     n_buckets, n_shards = man.n_buckets, man.n_shards
     batch_avgdl = total_tokens / n_docs if n_docs else 0.0
 

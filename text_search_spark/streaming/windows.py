@@ -68,6 +68,33 @@ _DEDUP_STATE_SCHEMA = "seen array<long>"
 _DEDUP_OUT_SCHEMA = "doc_id long, url string, text string"
 
 
+def _sorted_member_mask(seen, ids):
+    """Membership of `ids` in the SORTED int64 array `seen` via
+    searchsorted — O(B log S), no hashing of the whole state."""
+    import numpy as np
+
+    if not seen.size:
+        return np.zeros(ids.shape, dtype=bool)
+    idx = np.searchsorted(seen, ids)
+    idx[idx == seen.size] = seen.size - 1
+    return seen[idx] == ids
+
+
+def _sorted_merge_insert(seen, new_sorted):
+    """One sorted-merge pass inserting `new_sorted` into sorted `seen`
+    — no full re-sort of the whole set (np.union1d re-sorts S+B every
+    batch: O((S+B) log (S+B)) growing with stream lifetime)."""
+    import numpy as np
+
+    merged = np.empty(seen.size + new_sorted.size, dtype=seen.dtype)
+    pos = np.searchsorted(seen, new_sorted)
+    mask = np.ones(merged.size, dtype=bool)
+    mask[pos + np.arange(new_sorted.size)] = False
+    merged[~mask] = new_sorted
+    merged[mask] = seen
+    return merged
+
+
 def _dedup_fn(
     key: Tuple[int],
     pdfs: Iterator[pd.DataFrame],
@@ -75,12 +102,8 @@ def _dedup_fn(
 ) -> Iterator[pd.DataFrame]:
     import numpy as np
 
-    # `seen` is kept SORTED in the state store, so membership is a
-    # searchsorted (O(B log S)) and the merge of a batch's new ids is one
-    # sorted-merge pass — no per-batch full re-sort of the whole set
-    # (np.union1d re-sorts S+B every batch: O((S+B) log (S+B)) growing
-    # with stream lifetime). When a batch brings nothing new, the state
-    # is NOT rewritten at all.
+    # `seen` is kept SORTED in the state store (shared helpers above);
+    # when a batch brings nothing new, the state is NOT rewritten at all
     seen = (
         np.asarray(state.get[0], dtype=np.int64)
         if state.exists
@@ -89,26 +112,14 @@ def _dedup_fn(
     out = []
     dirty = False
     for pdf in pdfs:
-        ids = pdf["doc_id"].to_numpy()
-        if seen.size:
-            idx = np.searchsorted(seen, ids)
-            idx[idx == seen.size] = seen.size - 1
-            dup = seen[idx] == ids
-        else:
-            dup = np.zeros(ids.shape, dtype=bool)
+        dup = _sorted_member_mask(seen, pdf["doc_id"].to_numpy())
         fresh = pdf[~dup]
         # also drop duplicates WITHIN the batch (first occurrence wins)
         fresh = fresh.drop_duplicates(subset=["doc_id"], keep="first")
         if len(fresh):
             out.append(fresh)
             new_ids = np.sort(fresh["doc_id"].to_numpy().astype(np.int64))
-            merged = np.empty(seen.size + new_ids.size, dtype=np.int64)
-            pos = np.searchsorted(seen, new_ids)
-            mask = np.ones(merged.size, dtype=bool)
-            mask[pos + np.arange(new_ids.size)] = False
-            merged[~mask] = new_ids
-            merged[mask] = seen
-            seen = merged
+            seen = _sorted_merge_insert(seen, new_ids)
             dirty = True
     if dirty:
         state.update((seen.tolist(),))
@@ -182,13 +193,7 @@ def _make_dedup_epoch_fn(unit_ms: int, ttl_units: int):
         out = []
         dirty = False
         for pdf in pdfs:
-            ids = pdf["doc_id"].to_numpy()
-            if seen.size:
-                idx = np.searchsorted(seen, ids)
-                idx[idx == seen.size] = seen.size - 1
-                dup = seen[idx] == ids
-            else:
-                dup = np.zeros(ids.shape, dtype=bool)
+            dup = _sorted_member_mask(seen, pdf["doc_id"].to_numpy())
             fresh = pdf[~dup]
             fresh = fresh.drop_duplicates(subset=["doc_id"], keep="first")
             if len(fresh):
@@ -196,13 +201,7 @@ def _make_dedup_epoch_fn(unit_ms: int, ttl_units: int):
                 new_ids = np.sort(
                     fresh["doc_id"].to_numpy().astype(np.int64)
                 )
-                merged = np.empty(seen.size + new_ids.size, dtype=np.int64)
-                pos = np.searchsorted(seen, new_ids)
-                mask = np.ones(merged.size, dtype=bool)
-                mask[pos + np.arange(new_ids.size)] = False
-                merged[~mask] = new_ids
-                merged[mask] = seen
-                seen = merged
+                seen = _sorted_merge_insert(seen, new_ids)
                 dirty = True
         if dirty:
             state.update((seen.tolist(),))
@@ -217,7 +216,7 @@ def _make_dedup_epoch_fn(unit_ms: int, ttl_units: int):
 
 
 _SNAP_STATE_SCHEMA = (
-    "urls array<string>, ts_ms array<long>, tie array<long>"
+    "urls array<string>, ts_ns array<long>, tie array<long>"
 )
 _SNAP_OUT_SCHEMA = (
     "url string, warc_ts timestamp, fetch_id long, text string"
@@ -235,14 +234,14 @@ def _snapshot_fn(
     # kept SORTED by url so lookups are searchsorted, inserts one
     # sorted-merge pass, and a batch that changes nothing writes nothing
     if state.exists:
-        urls, ts_ms, tie = (
+        urls, ts_ns, tie = (
             np.asarray(state.get[0], dtype=object),
             np.asarray(state.get[1], dtype=np.int64),
             np.asarray(state.get[2], dtype=np.int64),
         )
     else:
         urls = np.empty(0, dtype=object)
-        ts_ms = np.empty(0, dtype=np.int64)
+        ts_ns = np.empty(0, dtype=np.int64)
         tie = np.empty(0, dtype=np.int64)
     dirty = False
     for pdf in pdfs:
@@ -265,7 +264,7 @@ def _snapshot_fn(
         )
         b_urls = pdf["url"].to_numpy(dtype=object)
         b_ts = (
-            pdf["warc_ts"].astype("datetime64[ms]").to_numpy().astype(np.int64)
+            pdf["warc_ts"].astype("datetime64[ns]").to_numpy().astype(np.int64)
         )
         b_tie = pdf["fetch_id"].to_numpy(dtype=np.int64)
         if urls.size:
@@ -273,8 +272,8 @@ def _snapshot_fn(
             safe = np.minimum(idx, urls.size - 1)
             found = urls[safe] == b_urls
             fidx = safe[found]
-            newer = (b_ts[found] > ts_ms[fidx]) | (
-                (b_ts[found] == ts_ms[fidx]) & (b_tie[found] > tie[fidx])
+            newer = (b_ts[found] > ts_ns[fidx]) | (
+                (b_ts[found] == ts_ns[fidx]) & (b_tie[found] > tie[fidx])
             )
         else:
             found = np.zeros(b_urls.shape, dtype=bool)
@@ -283,7 +282,7 @@ def _snapshot_fn(
         upd = fidx[newer] if urls.size else np.empty(0, dtype=np.int64)
         if upd.size:
             src = np.flatnonzero(found)[newer]
-            ts_ms[upd] = b_ts[src]
+            ts_ns[upd] = b_ts[src]
             tie[upd] = b_tie[src]
             dirty = True
         # unseen urls: sorted-merge insert
@@ -301,9 +300,9 @@ def _snapshot_fn(
             m_ts[~keep] = b_ts[new_mask]
             m_tie[~keep] = b_tie[new_mask]
             m_urls[keep] = urls
-            m_ts[keep] = ts_ms
+            m_ts[keep] = ts_ns
             m_tie[keep] = tie
-            urls, ts_ms, tie = m_urls, m_ts, m_tie
+            urls, ts_ns, tie = m_urls, m_ts, m_tie
             dirty = True
         won = new_mask.copy()
         if urls.size and found.any():
@@ -312,7 +311,7 @@ def _snapshot_fn(
         if len(out):
             yield out[["url", "warc_ts", "fetch_id", "text"]]
     if dirty:
-        state.update((urls.tolist(), ts_ms.tolist(), tie.tolist()))
+        state.update((urls.tolist(), ts_ns.tolist(), tie.tolist()))
 
 
 def latest_snapshot_stream(
