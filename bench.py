@@ -25,6 +25,7 @@ bench_scaling.py — kept out of the default bench to bound runtime.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import statistics
@@ -66,10 +67,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, object] = {"n_docs": n_docs, "cpus": cpus}
 
-    def timed(name, fn):
+    def timed(name, fn, sink=None):
         t0 = time.perf_counter()
         r = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        (timings if sink is None else sink)[name] = round(
+            time.perf_counter() - t0, 3
+        )
         return r
 
     index_dir = os.path.join(
@@ -144,6 +147,13 @@ def main() -> None:
         .limit(40)
         .collect()
     ]
+    # the workload below indexes up to terms[21]; fail fast with a clear
+    # message on a toy corpus instead of an IndexError after the timed build
+    if len(terms) < 22:
+        raise SystemExit(
+            f"corpus too small for the bench workload: {len(terms)} "
+            "qualifying terms (need >= 22)"
+        )
     specs = [QuerySpec(f"s{i}", [t], "or") for i, t in enumerate(terms[:30])]
     specs += [
         QuerySpec(f"a{i}", [terms[i], terms[i + 1]], "and") for i in range(10)
@@ -177,8 +187,10 @@ def main() -> None:
             lat.append(time.perf_counter() - t0)
     timed("bm25_seq10", seq10)
     extra["bm25_p50_ms"] = round(statistics.median(lat) * 1000, 1)
+    # nearest-rank p95: ceil(0.95 n) - 1 (for n=10 that is the max;
+    # the previous int(n*0.95)-1 picked the 9th of 10 = p90)
     extra["bm25_p95_ms"] = round(
-        sorted(lat)[max(0, int(len(lat) * 0.95) - 1)] * 1000, 1
+        sorted(lat)[max(0, math.ceil(len(lat) * 0.95) - 1)] * 1000, 1
     )
 
     timed(
@@ -213,21 +225,26 @@ def main() -> None:
         synthetic_long_pair,
     )
 
-    t0 = time.perf_counter()
-    ann.ivf_topk(
-        emb, qs, k=5, n_cells=16, nprobe=4, quantizer="kmeans"
-    ).collect()
-    extra["ann_ivf_kmeans_s"] = round(time.perf_counter() - t0, 3)
+    timed(
+        "ann_ivf_kmeans_s",
+        lambda: ann.ivf_topk(
+            emb, qs, k=5, n_cells=16, nprobe=4, quantizer="kmeans"
+        ).collect(),
+        sink=extra,
+    )
     # round-4: the deterministic Lloyd trained quantizer (the driver-
     # gated path) and the trained char-n-gram language scorer
-    t0 = time.perf_counter()
-    ann.ivf_topk(
-        emb, qs, k=5, n_cells=16, nprobe=4, quantizer="lloyd"
-    ).collect()
-    extra["ann_ivf_lloyd_s"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    textstats.langid_ngram(docs).count()
-    extra["langid_ngram_s"] = round(time.perf_counter() - t0, 3)
+    timed(
+        "ann_ivf_lloyd_s",
+        lambda: ann.ivf_topk(
+            emb, qs, k=5, n_cells=16, nprobe=4, quantizer="lloyd"
+        ).collect(),
+        sink=extra,
+    )
+    timed(
+        "langid_ngram_s", lambda: textstats.langid_ngram(docs).count(),
+        sink=extra,
+    )
     # round-4: crawl-table operators over a derived (url, ts) shape
     # with refetch churn (11x13 urls -> many snapshots per url)
     from text_search_spark.operators import webtext
@@ -241,23 +258,24 @@ def main() -> None:
         ((d * 131) % 10007).alias("ts_s"),
         "doc_id", "text", "lang",
     )
-    t0 = time.perf_counter()
-    webtext.latest_snapshot(
-        pages, ts_col="ts_s", tiebreak_col="doc_id"
-    ).count()
-    extra["url_latest_snapshot_s"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    webtext.host_stats(pages).count()
-    extra["host_stats_s"] = round(time.perf_counter() - t0, 3)
+    timed(
+        "url_latest_snapshot_s",
+        lambda: webtext.latest_snapshot(
+            pages, ts_col="ts_s", tiebreak_col="doc_id"
+        ).count(),
+        sink=extra,
+    )
+    timed(
+        "host_stats_s", lambda: webtext.host_stats(pages).count(),
+        sink=extra,
+    )
 
     lq, ld = synthetic_long_pair()
     lpairs = spark.createDataFrame(
         [("lq", lq, 0, ld)],
         "query_id string, query_text string, doc_id long, doc_text string",
     )
-    t0 = time.perf_counter()
-    align_spans(lpairs).collect()
-    extra["align_long_s"] = round(time.perf_counter() - t0, 3)
+    timed("align_long_s", lambda: align_spans(lpairs).collect(), sink=extra)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -38,6 +38,9 @@ def _gen_shard(args) -> str:
 
     path = os.path.join(CORPUS_DIR, f"part-{shard:03d}.parquet")
     if os.path.exists(path):
+        # only a COMMITTED file short-circuits: writes go to a temp path
+        # and os.replace in — a run killed mid-write leaves no part file
+        # to be silently reused as truncated parquet
         return path
     pages = generate_pages(n, seed=SEED + shard)
     pdf = pages_to_pandas(pages)
@@ -55,9 +58,11 @@ def _gen_shard(args) -> str:
             ("lang", pa.string()),
         ]
     )
+    tmp = path + ".tmp"
     pq.write_table(
-        pa.Table.from_pandas(pdf, schema=schema), path, row_group_size=2000
+        pa.Table.from_pandas(pdf, schema=schema), tmp, row_group_size=2000
     )
+    os.replace(tmp, path)  # atomic commit of the shard file
     return path
 
 
@@ -112,7 +117,9 @@ def main() -> None:
             cleanup_tmp=False,
         )
     except RuntimeError as e:
-        crashed = "injected failure" in str(e)
+        if "injected failure" not in str(e):
+            raise  # a REAL build failure must surface, not be relabeled
+        crashed = True
     build1_s = time.perf_counter() - t0
     assert crashed, "expected the injected mid-run failure"
     man = ixfmt.load_manifest(INDEX_DIR)

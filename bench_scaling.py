@@ -42,6 +42,11 @@ CORPUS_PATH = f"/tmp/tss_scale_corpus_{N_DOCS}.parquet"
 LEVELS = tuple(
     int(x) for x in os.environ.get("TSS_SCALE_LEVELS", "4,16").split(",")
 )
+if len(LEVELS) != 2:
+    raise SystemExit(
+        f"TSS_SCALE_LEVELS must be exactly two comma-separated levels "
+        f"(lo,hi), got {LEVELS!r}"
+    )
 RUNS_PER_LEVEL = int(os.environ.get("TSS_SCALE_RUNS", "2"))
 
 
@@ -66,8 +71,9 @@ def _spin(n: int) -> int:
 
 
 def machine_ceiling() -> float:
-    """Pure-CPU 8->32 multiprocessing speedup / 4 — the hardware's own
-    scaling efficiency ceiling on this box (SMT threads + steal time)."""
+    """Pure-CPU lo->hi multiprocessing speedup / (hi/lo) at the
+    CONFIGURED LEVELS — the hardware's own scaling efficiency ceiling
+    on this box (SMT threads + steal time)."""
     def rate(procs: int, n: int = 2_000_000) -> float:
         with mp.Pool(procs) as p:
             t0 = time.perf_counter()

@@ -20,6 +20,7 @@ def main() -> None:
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with zipfile.ZipFile(OUT, "w", zipfile.ZIP_DEFLATED) as z:
         for dirpath, _dirs, files in os.walk(PKG):
+            _dirs.sort()  # deterministic entry order -> reproducible zip
             if "__pycache__" in dirpath:
                 continue
             for f in sorted(files):

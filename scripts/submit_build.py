@@ -17,8 +17,9 @@ The north-rule deployment shape: the package ships as a zip via
       --url-col url --text-col text \
       --bucket-groups 16
 
-Any Spark-readable path works for --input (parquet directory, Iceberg
-table via `--input-table catalog.db.pages`); the index lands at --index
+--input takes a PARQUET directory (read via spark.read.parquet); for an
+Iceberg or other catalog table use `--input-table catalog.db.pages`
+instead. The index lands at --index
 as the engine's term-partitioned layout with the manifest as the atomic
 commit. Re-running the same command after a failure RESUMES from the
 last completed stage (bucket-group lineage in the manifest). Sizing
@@ -33,7 +34,7 @@ import argparse
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="path of the corpus (parquet/orc dir)")
+    src.add_argument("--input", help="path of the corpus (parquet dir)")
     src.add_argument("--input-table", help="catalog table (e.g. Iceberg)")
     ap.add_argument("--index", required=True, help="output index directory")
     ap.add_argument("--url-col", default="url")

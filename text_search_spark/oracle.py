@@ -190,11 +190,20 @@ def bm25_topk(
 def bm25_all_queries(
     index: OracleIndex, queries, k: int = 10
 ) -> List[Tuple[str, int, int, float]]:
-    """[(query_id, rank, doc_id, score)] for a corpus.Query list."""
+    """[(query_id, rank, doc_id, score)] for a corpus.Query list,
+    forwarding a per-query `window` when the query carries one (a NEAR
+    query scored with the default window would diverge silently)."""
     rows = []
     for q in queries:
         for rank, (doc_id, score) in enumerate(
-            bm25_topk(index, q.terms, k=k, mode=q.mode), start=1
+            bm25_topk(
+                index,
+                q.terms,
+                k=k,
+                mode=q.mode,
+                window=getattr(q, "window", 8),
+            ),
+            start=1,
         ):
             rows.append((q.query_id, rank, doc_id, score))
     return rows
