@@ -1335,5 +1335,9 @@ def build_index(
 
     if cleanup_tmp and os.path.isdir(tokens_path):
         shutil.rmtree(tokens_path)
+    # snapshot the committed segment file set (Iceberg-style): readers
+    # open exactly these files, so a later in-flight streaming append
+    # can never surface half a batch to a concurrent query
+    man.segment_files = fmt.list_segment_files(index_dir)
     man.complete = True
     fmt.save_manifest(index_dir, man)

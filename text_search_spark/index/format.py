@@ -73,6 +73,17 @@ class IndexManifest:
     # silently skip buckets by re-deriving groups from a DIFFERENT
     # caller-supplied bucket_groups. 0 = unset (legacy partial).
     bucket_groups: int = 0
+    # Iceberg-style snapshot: the COMMITTED segment file set, as paths
+    # relative to segments_dir (e.g. "term_bucket=3/batch0-part-...").
+    # Readers that honor this list get true snapshot isolation against
+    # concurrent streaming appends — a part file an in-flight batch has
+    # already landed is invisible until the manifest flip commits it
+    # (closes the torn-read seam incremental.py documented through
+    # round 4). None = legacy manifest: readers fall back to the
+    # directory scan. At 10^12-doc scale this list lives in Iceberg
+    # manifest-list files rather than one JSON array; the commit
+    # protocol (file set flips with the snapshot pointer) is identical.
+    segment_files: Optional[List[str]] = None
 
 
 def manifest_path(index_dir: str) -> str:
@@ -116,6 +127,22 @@ DOC_STATS_READ_SCHEMA = "doc_id long, url string, doc_len int"
 TERM_STATS_READ_SCHEMA = (
     "term string, term_id long, df long, cf long, term_bucket int"
 )
+
+
+def list_segment_files(index_dir: str) -> List[str]:
+    """Walk segments_dir and return sorted segments_dir-relative paths of
+    every .parquet part file — used by writers at COMMIT time to record
+    the snapshot's file set in the manifest (readers never walk)."""
+    root = segments_dir(index_dir)
+    out: List[str] = []
+    if not os.path.isdir(root):
+        return out
+    for d, _dirs, files in os.walk(root):
+        rel = os.path.relpath(d, root)
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(f if rel == "." else os.path.join(rel, f))
+    return sorted(out)
 
 
 def segments_dir(index_dir: str) -> str:

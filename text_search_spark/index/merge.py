@@ -87,9 +87,18 @@ def merge_shards(
     assert s_new >= 1 and s_old % s_new == 0
     avgdl = man.avgdl
 
-    seg = spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(
-        fmt.segments_dir(index_dir)
-    )
+    src_root = fmt.segments_dir(index_dir)
+    if man.segment_files is not None and not man.segment_files:
+        seg = spark.createDataFrame([], fmt.SEG_READ_SCHEMA)
+    elif man.segment_files is not None:
+        # read the manifest-committed snapshot, not the directory — a
+        # compaction racing a streaming append must not absorb half an
+        # uncommitted batch
+        seg = spark.read.schema(fmt.SEG_READ_SCHEMA).option(
+            "basePath", src_root
+        ).parquet(*(os.path.join(src_root, p) for p in man.segment_files))
+    else:
+        seg = spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(src_root)
     seg = seg.withColumn("new_shard", (F.col("shard") % s_new).cast("int"))
 
     from .build import _OUT_ROWS
@@ -182,4 +191,5 @@ def merge_shards(
         complete=True,
         stages={"merged_from": True},
     )
+    new_man.segment_files = fmt.list_segment_files(out_dir)
     fmt.save_manifest(out_dir, new_man)

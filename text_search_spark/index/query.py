@@ -36,6 +36,7 @@ driver only ever sees k rows per query.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -109,12 +110,46 @@ class IndexReader:
         # reuse one DataFrame across queries: the file listing + parquet
         # footer reads happen once per reader, not once per query
         if self._segments_df is None:
-            # explicit schema: an empty index (zero segment files) must
-            # read as an empty relation, not fail schema inference
-            self._segments_df = self.spark.read.schema(
-                fmt.SEG_READ_SCHEMA
-            ).parquet(fmt.segments_dir(self.index_dir))
+            root = fmt.segments_dir(self.index_dir)
+            files = self.manifest.segment_files
+            if files is not None:
+                # snapshot isolation: open exactly the manifest-committed
+                # file set — part files an in-flight streaming append has
+                # landed but not committed are invisible (Iceberg-style
+                # snapshot read; see format.IndexManifest.segment_files).
+                # basePath keeps term_bucket partition-column discovery.
+                if not files:
+                    self._segments_df = self.spark.createDataFrame(
+                        [], fmt.SEG_READ_SCHEMA
+                    )
+                else:
+                    self._segments_df = (
+                        self.spark.read.schema(fmt.SEG_READ_SCHEMA)
+                        .option("basePath", root)
+                        .parquet(*(os.path.join(root, p) for p in files))
+                    )
+            else:
+                # legacy manifest (pre-snapshot): directory scan.
+                # explicit schema: an empty index (zero segment files)
+                # must read as an empty relation, not fail inference
+                self._segments_df = self.spark.read.schema(
+                    fmt.SEG_READ_SCHEMA
+                ).parquet(root)
         return self._segments_df
+
+    def segment_files_for_bucket(self, bucket: int) -> Optional[List[str]]:
+        """Manifest-committed segment files (absolute paths) under one
+        term_bucket partition; None on a legacy manifest (caller falls
+        back to the directory scan). Empty list = committed snapshot has
+        no files for this bucket."""
+        files = self.manifest.segment_files
+        if files is None:
+            return None
+        root = fmt.segments_dir(self.index_dir)
+        prefix = f"term_bucket={bucket}{os.sep}"
+        return [
+            os.path.join(root, p) for p in files if p.startswith(prefix)
+        ]
 
     def term_stats(self) -> DataFrame:
         return self.spark.read.schema(fmt.TERM_STATS_READ_SCHEMA).parquet(
@@ -167,26 +202,27 @@ class IndexReader:
     def _df_sidecar_scan(
         self, id_list: List[int], blist: List[int]
     ) -> Dict[int, int]:
-        import os
-
         import pyarrow.dataset as pads
 
         seg_root = fmt.segments_dir(self.index_dir)
         # list ONLY the needed bucket partitions — never the whole
         # segments tree (a 10^12-doc index has many buckets; a query
-        # touches len(terms) of them)
-        dirs = [
-            d
-            for d in (
-                os.path.join(seg_root, f"term_bucket={b}") for b in blist
-            )
-            if os.path.isdir(d)
-        ]
+        # touches len(terms) of them). Per bucket: the manifest-committed
+        # file set when available (snapshot isolation vs in-flight
+        # appends), else the partition directory (legacy manifest).
+        sources = []
+        for b in blist:
+            flist = self.segment_files_for_bucket(b)
+            if flist is not None:
+                if flist:
+                    sources.append(flist)
+            else:
+                d = os.path.join(seg_root, f"term_bucket={b}")
+                if os.path.isdir(d):
+                    sources.append(d)
         out: Dict[int, int] = {}
-        if not dirs:
-            return out
-        for d in dirs:
-            dset = pads.dataset(d, format="parquet")
+        for src in sources:
+            dset = pads.dataset(src, format="parquet")
             tbl = dset.to_table(
                 columns=["term_id", "df_part"],
                 filter=pads.field("term_id").isin(id_list),
@@ -693,11 +729,18 @@ def _score_single_term_local(
     blist: List[int],
     avgdl: float,
     k: int,
+    phase_sink: Optional[Dict[str, float]] = None,
 ):
     """Driver-side single-term scoring over the pyarrow sidecar scan:
     yields (query_id, doc_id, score) candidate rows (per-row top-k; rows
-    of one term are doc-disjoint). Bounded by DRIVER_SCORE_MAX_POSTINGS."""
+    of one term are doc-disjoint). Bounded by DRIVER_SCORE_MAX_POSTINGS.
+
+    phase_sink: optional dict accumulating wall seconds for the two
+    sub-phases ("read_s" = pyarrow dataset open + filtered to_table,
+    "score_s" = posting decode + BM25 partial + top-k) — bench
+    triage instrumentation, zero cost when None."""
     import os
+    import time as _time
 
     import pyarrow.dataset as pads
 
@@ -705,13 +748,25 @@ def _score_single_term_local(
     id_list = sorted(qplan)
     out: List[Tuple[str, int, float]] = []
     for b in blist:
-        d = os.path.join(seg_root, f"term_bucket={b}")
-        if not os.path.isdir(d):
-            continue
-        tbl = pads.dataset(d, format="parquet").to_table(
+        flist = reader.segment_files_for_bucket(b)
+        if flist is not None:
+            if not flist:
+                continue
+            src = flist  # manifest-committed snapshot file set
+        else:
+            src = os.path.join(seg_root, f"term_bucket={b}")
+            if not os.path.isdir(src):
+                continue
+        t0 = _time.perf_counter() if phase_sink is not None else 0.0
+        tbl = pads.dataset(src, format="parquet").to_table(
             columns=["term_id", "postings"],
             filter=pads.field("term_id").isin(id_list),
         )
+        if phase_sink is not None:
+            t1 = _time.perf_counter()
+            phase_sink["read_s"] = (
+                phase_sink.get("read_s", 0.0) + t1 - t0
+            )
         tids = tbl["term_id"].to_numpy()
         posts = tbl["postings"].to_pylist()
         for tid, pbuf in zip(tids, posts):
@@ -727,6 +782,12 @@ def _score_single_term_local(
                 out.extend(
                     (query_id, int(docs[j]), float(p[j])) for j in idx
                 )
+        if phase_sink is not None:
+            phase_sink["score_s"] = (
+                phase_sink.get("score_s", 0.0)
+                + _time.perf_counter()
+                - t1
+            )
     return out
 
 
@@ -769,6 +830,7 @@ def bm25_topk_rows(
     k: int = 10,
     reader: Optional[IndexReader] = None,
     prune: bool = True,
+    phase_sink: Optional[Dict[str, float]] = None,
 ) -> List[Tuple[str, int, int, float]]:
     """Low-latency variant: the global merge runs driver-side over the
     collected candidate rows (the reference's bounded-heap global merge,
@@ -778,7 +840,17 @@ def bm25_topk_rows(
     per batch. Rank- and score-identical to bm25_topk_df in both paths
     (same float64 ops, same total order).
 
+    phase_sink: optional dict; when given, accumulates wall seconds per
+    phase ("plan_s" df/bucket lookups + weight planning, "read_s"
+    sidecar parquet read, "score_s" decode+score, "merge_s" driver
+    merge) and records "path" = driver_sidecar | scan_stage |
+    shard_topk. Bench triage instrumentation (BENCH.md round-5);
+    zero overhead when None.
+
     -> [(query_id, rank, doc_id, score)]"""
+    import time as _time
+
+    _t_start = _time.perf_counter() if phase_sink is not None else 0.0
     r = reader or IndexReader(spark, index_dir)
     qs = _normalize_queries(queries)
     all_single = all(
@@ -804,14 +876,22 @@ def bm25_topk_rows(
             return []
         blist = sorted({buckets[t] for t in all_terms if dfs.get(t, 0) > 0})
         total_df = sum(dfs.get(t, 0) for t in all_terms)
+        if phase_sink is not None:
+            phase_sink["plan_s"] = (
+                phase_sink.get("plan_s", 0.0)
+                + _time.perf_counter()
+                - _t_start
+            )
         if total_df <= DRIVER_SCORE_MAX_POSTINGS:
             # small pruned volume (known exactly from df): read the
             # posting rows through the pyarrow sidecar and score on the
             # driver — NO Spark job at all (~ms, the real latency path)
             try:
                 rows_iter = _score_single_term_local(
-                    r, qplan, blist, avgdl, k
+                    r, qplan, blist, avgdl, k, phase_sink=phase_sink
                 )
+                if phase_sink is not None:
+                    phase_sink["path"] = "driver_sidecar"
             except Exception:
                 rows_iter = None
         if rows_iter is None:
@@ -833,6 +913,8 @@ def bm25_topk_rows(
                 (row.query_id, row.doc_id, row.score)
                 for row in cand.collect()
             )
+            if phase_sink is not None:
+                phase_sink["path"] = "scan_stage"
     else:
         cand = _shard_topk_candidates(
             spark, index_dir, queries, k, reader or r, prune
@@ -842,6 +924,9 @@ def bm25_topk_rows(
         rows_iter = (
             (row.query_id, row.doc_id, row.score) for row in cand.collect()
         )
+        if phase_sink is not None:
+            phase_sink["path"] = "shard_topk"
+    _t_merge = _time.perf_counter() if phase_sink is not None else 0.0
     by_q: Dict[str, List[Tuple[float, int]]] = {}
     for qid, doc_id, score in rows_iter:
         by_q.setdefault(qid, []).append((score, doc_id))
@@ -851,5 +936,11 @@ def bm25_topk_rows(
         out.extend(
             (qid, rank, doc_id, score)
             for rank, (score, doc_id) in enumerate(rows, start=1)
+        )
+    if phase_sink is not None:
+        phase_sink["merge_s"] = (
+            phase_sink.get("merge_s", 0.0)
+            + _time.perf_counter()
+            - _t_merge
         )
     return out

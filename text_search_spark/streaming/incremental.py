@@ -16,19 +16,20 @@ stream_df: a STREAMING DataFrame with (doc_id long, url string, text
 string). Caller guarantees doc_ids are new (exactly-once feed or upstream
 dedup); re-ingesting a doc_id double-counts it.
 
-Consistency model (honest scope): each micro-batch writes segments +
-doc_stats + metrics first, then commits the manifest (single JSON
-rename). Scoring STATISTICS (n_docs, avgdl) therefore flip atomically.
-The segment FILES, however, are directory-scanned by IndexReader, not
-listed from the manifest — a reader whose query runs concurrently with
-an in-flight append can observe some but not all of that batch's part
-files (each lands via its own os.replace). Contract: appends are
-atomic per batch with respect to CRASHES (a retry replaces the batch's
-files, never duplicates), and readers that refresh()/open BETWEEN
-batch commits see consistent snapshots; for concurrent readers during
-an append, snapshot isolation needs a manifest-listed file set (the
-Iceberg-snapshot seam — not implemented; at scale the Iceberg catalog
-provides exactly this). term_stats is NOT maintained per batch (it's
+Consistency model: each micro-batch writes segments + doc_stats +
+metrics first, then commits the manifest (single JSON rename) carrying
+BOTH the scoring statistics (n_docs, avgdl) AND the committed segment
+FILE SET (manifest.segment_files, Iceberg-snapshot style). IndexReader
+opens exactly the manifest-listed files, so a reader whose query runs
+concurrently with an in-flight append sees the pre-commit snapshot in
+full — never a torn subset of the landing batch's part files
+(tests/test_streaming.py: in-flight-file isolation + concurrent-reader
+stress). Contract: appends are atomic per batch with respect to
+CRASHES (a retry replaces the batch's files, never duplicates), every
+read is a consistent committed snapshot, and refresh() flips a live
+reader to the newest commit. At 10^12-doc scale the file list lives in
+Iceberg manifest-list files instead of one JSON array; the commit
+protocol is the same. term_stats is NOT maintained per batch (it's
 derived data); call rebuild_term_stats() when a fresh stats table is
 needed.
 """
@@ -216,6 +217,24 @@ def _append_batch_inner(
         fmt.segments_dir(index_dir),
         batch_id,
     )
+    # snapshot bookkeeping: previous committed file set + exactly this
+    # batch's files. Orphans from an uncommitted earlier attempt are
+    # excluded by construction (prev comes from the committed manifest;
+    # new files carry THIS batch's tag, and _append_scoped replaced any
+    # partial same-batch attempt). Legacy pre-snapshot manifests
+    # (segment_files=None) initialize from a walk minus this batch's tag.
+    tag = f"batch{batch_id}-"
+    all_files = fmt.list_segment_files(index_dir)
+    if man.segment_files is None:
+        prev_files = [
+            p for p in all_files if not os.path.basename(p).startswith(tag)
+        ]
+    else:
+        prev_files = man.segment_files
+    new_files = [
+        p for p in all_files if os.path.basename(p).startswith(tag)
+    ]
+    man.segment_files = sorted(set(prev_files) | set(new_files))
     # metrics row, batch-scoped like the data files
     import datetime as _dt
 
@@ -267,9 +286,23 @@ def incremental_index(
 
 
 def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
-    seg = spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(
-        fmt.segments_dir(index_dir)
-    )
+    man0 = fmt.load_manifest(index_dir)
+    root = fmt.segments_dir(index_dir)
+    if man0 is not None and man0.segment_files is not None:
+        # derive stats from the committed snapshot only (a concurrent
+        # in-flight append's files must not leak into term_stats)
+        if man0.segment_files:
+            seg = (
+                spark.read.schema(fmt.SEG_READ_SCHEMA)
+                .option("basePath", root)
+                .parquet(
+                    *(os.path.join(root, p) for p in man0.segment_files)
+                )
+            )
+        else:
+            seg = spark.createDataFrame([], fmt.SEG_READ_SCHEMA)
+    else:
+        seg = spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(root)
     vocab = (
         spark.read.schema(fmt.VOCAB_READ_SCHEMA)
         .parquet(fmt.vocab_dir(index_dir))
