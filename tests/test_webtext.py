@@ -109,6 +109,10 @@ def test_host_filter_thresholds(spark):
 
 
 def test_host_filter_broadcasts_small_verdict(spark):
+    """Plan pin (round-4 verdict item 3): the verdict side is a
+    broadcast-hinted join computed on executors — ONE rollup in the
+    plan, no driver-collected local relation, and the page side enters
+    no exchange."""
     plan = (
         webtext.host_filter(_pages(spark), min_docs=2)
         ._jdf.queryExecution()
@@ -116,6 +120,15 @@ def test_host_filter_broadcasts_small_verdict(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+    # the old path collected the verdict to the driver and joined a
+    # LocalTableScan back — gone
+    assert "LocalTableScan" not in plan
+    # exactly one rollup: one partial/final aggregate pair over host
+    assert plan.count("partial_count") == 1
+    # the only Exchange is the verdict rollup's own shuffle; the page
+    # table reaches the join bare (broadcast hint — no map-stage write
+    # of the 10^12-row side, which plain-join-under-AQE would do)
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_latest_snapshot_null_semantics(spark):
