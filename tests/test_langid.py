@@ -70,3 +70,49 @@ def test_spark_operator_matches_python_scorer(spark, fixture):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.pred_lang_ngram for r in langid_ngram(df).collect()}
     assert out == expected
+
+
+def test_hashed_weights_match_exact_predictions(spark, fixture):
+    """Feature-hashed weight table (round-4 verdict item 5): at 64k
+    buckets the model's collision rate is quantified-small and the
+    PREDICTIONS are identical to the exact table on every held-out
+    sentence + the degenerate empty doc; the table is bounded at
+    n_buckets rows. (Collision-FREE is a birthday-bound fantasy —
+    colliding features' weights sum, and the pin is that predictions
+    survive it on the fixture.)"""
+    from text_search_spark.operators.textstats import langid_hashed_weights
+
+    B = 65536
+    model = _langid_model()
+    rows_tbl, langs, n_feats, n_coll = langid_hashed_weights(B)
+    assert n_feats == len(model["weights"])
+    assert len(rows_tbl) <= B
+    assert n_coll / n_feats < 0.02, f"collision rate {n_coll}/{n_feats}"
+
+    rows = []
+    i = 0
+    for lang in model["langs"]:
+        for sent in fixture[lang][TRAIN_PER:]:
+            rows.append((i, sent))
+            i += 1
+    rows.append((i, ""))  # no features -> NULL bucket -> all-zero row
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        r.doc_id: r.pred_lang_ngram for r in langid_ngram(df).collect()
+    }
+    hashed = {
+        r.doc_id: r.pred_lang_ngram
+        for r in langid_ngram(df, hashed_buckets=B).collect()
+    }
+    assert hashed == exact
+
+
+def test_hashed_weights_collisions_are_counted():
+    """At a deliberately tiny bucket count collisions exist and are
+    reported — the parity pin above is per-fixture, not magic."""
+    from text_search_spark.operators.textstats import langid_hashed_weights
+
+    rows_tbl, _langs, n_feats, n_coll = langid_hashed_weights(64)
+    assert n_coll > 0
+    assert len(rows_tbl) + n_coll == n_feats
+    assert len(rows_tbl) <= 64

@@ -5,7 +5,7 @@ tokenizer — one explode + one agg shuffle each.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -127,8 +127,42 @@ def _langid_model() -> dict:
     return json.loads(ref.read_text())
 
 
+def langid_hashed_weights(n_buckets: int):
+    """Feature-hashed langid weight table (Weinberger et al. 2009
+    "Feature Hashing for Large Scale Multitask Learning"): features
+    hash into `n_buckets` fixed buckets via the engine's XXH64
+    (driver-side xxhash64_str, bit-identical to Spark's F.xxhash64 —
+    tests/test_xxhash.py), and colliding features' weights SUM per
+    bucket. The table is then bounded at n_buckets rows no matter how
+    large the trained vocabulary grows — the broadcast-size seam the
+    exact path documents.
+
+    Returns (rows, langs, n_features, n_collisions): rows =
+    [(bucket, w_lang0, ...)], n_collisions = features sharing an
+    already-occupied bucket (prediction parity vs the exact table is
+    pinned per-fixture in tests/test_langid.py, not guaranteed in
+    general — collisions perturb scores)."""
+    from ..functions.xxhash import pmod, xxhash64_str
+
+    model = _langid_model()
+    langs = model["langs"]
+    agg: dict = {}
+    n_feats = 0
+    for feat, ws in sorted(model["weights"].items()):
+        n_feats += 1
+        b = pmod(xxhash64_str(feat), n_buckets)
+        cur = agg.setdefault(b, [0] * len(langs))
+        for i, x in enumerate(ws):
+            cur[i] += int(x)
+    rows = [(b, *vals) for b, vals in sorted(agg.items())]
+    return rows, langs, n_feats, n_feats - len(agg)
+
+
 def langid_ngram(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Char-n-gram linear language scorer (the fastText-style public
     recipe, Joulin et al. 2016, arXiv:1607.01759) over deterministic
@@ -143,21 +177,35 @@ def langid_ngram(
     Shape at 100 TB: per-row JVM feature explode, one broadcast join
     against the ~300-row weight table, one map-side-combined sum keyed
     by doc — no skew (weights are replicated, docs are the partition
-    key). A hashed-bucket weight table (feature hashing) is the drop-in
-    seam when the vocabulary outgrows a broadcast.
+    key).
+
+    hashed_buckets=None (default): exact feature-string weight table —
+    the oracle-replayable path. hashed_buckets=B: feature-HASHED
+    weight table (langid_hashed_weights) bounded at B rows regardless
+    of vocabulary size — the open-vocabulary scale path; the join key
+    becomes pmod(xxhash64(feat), B), still JVM-side, and predictions
+    are pinned identical to the exact path on the training fixture
+    (tests/test_langid.py) with the collision count reported there.
 
     Columns: (doc_id, s_<lang>..., pred_lang_ngram)."""
     model = _langid_model()
     langs = model["langs"]
     spark = df.sparkSession
-    wrows = [
-        (feat, *[int(x) for x in ws])
-        for feat, ws in sorted(model["weights"].items())
-    ]
-    wdf = spark.createDataFrame(
-        wrows,
-        "feat string, " + ", ".join(f"w_{lg} long" for lg in langs),
-    )
+    if hashed_buckets is not None:
+        hrows, langs, _nf, _nc = langid_hashed_weights(hashed_buckets)
+        wdf = spark.createDataFrame(
+            hrows,
+            "bucket int, " + ", ".join(f"w_{lg} long" for lg in langs),
+        )
+    else:
+        wrows = [
+            (feat, *[int(x) for x in ws])
+            for feat, ws in sorted(model["weights"].items())
+        ]
+        wdf = spark.createDataFrame(
+            wrows,
+            "feat string, " + ", ".join(f"w_{lg} long" for lg in langs),
+        )
     # ONE linear pass splits the text into codepoints ('(?s).' matches
     # any single code point incl. newlines and astral pairs — the same
     # unit substr counts, so feature strings are unchanged); trigrams
@@ -197,8 +245,24 @@ def langid_ngram(
         "doc_id",
         F.explode_outer(F.concat(ch, tri)).alias("feat"),
     )
+    if hashed_buckets is not None:
+        # NULL feat (feature-less doc) must stay NULL — xxhash64(NULL)
+        # would hash the seed and could land in an occupied bucket,
+        # giving an empty doc a phantom score
+        feats = feats.select(
+            "doc_id",
+            F.when(
+                F.col("feat").isNotNull(),
+                F.pmod(
+                    F.xxhash64(F.col("feat")), F.lit(hashed_buckets)
+                ).cast("int"),
+            ).alias("bucket"),
+        )
+        join_key = "bucket"
+    else:
+        join_key = "feat"
     out = (
-        feats.join(F.broadcast(wdf), "feat", "left")
+        feats.join(F.broadcast(wdf), join_key, "left")
         .groupBy("doc_id")
         .agg(
             *[
