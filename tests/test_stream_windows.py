@@ -327,3 +327,86 @@ def test_latest_snapshot_stream_emits_upserts(spark, tmp_path):
     for r in got.orderBy("warc_ts", "fetch_id").collect():
         stream_last[r.url] = (r.fetch_id, r.text)
     assert stream_last == batch
+
+
+def test_latest_snapshot_stream_epoch_bounded_state(spark, tmp_path):
+    """Bounded-epoch refetch dedup (ADVICE r04 item 2 — the variant the
+    old docstring promised): (1) within an epoch, a url collapses to
+    its newest (warc_ts, fetch_id) winner with upserts emitted only on
+    change; (2) the same url in a LATER epoch starts fresh (its own
+    winner, own upsert); (3) state behind the watermark horizon is
+    evicted; (4) null-url and null-ts rows are dropped."""
+    src = str(tmp_path / "snap_ep")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "url string, ts_s string, fetch_id long, text string"
+        ).select(
+            "url",
+            F.col("ts_s").cast("timestamp").alias("warc_ts"),
+            "fetch_id",
+            "text",
+        )
+
+    mk(
+        [
+            ("u1", "2024-01-01 06:00:00", 1, "v1"),
+            ("u1", "2024-01-01 07:00:00", 2, "v2"),  # same-batch newer
+            (None, "2024-01-01 06:00:00", 3, "null-url"),
+            ("u9", None, 4, "null-ts"),
+        ]
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    time.sleep(1.1)
+    mk(
+        [
+            ("u1", "2024-01-01 05:00:00", 5, "old"),    # older: no upsert
+            ("u1", "2024-01-01 08:00:00", 6, "v3"),     # newer: upsert
+            ("u1", "2024-01-02 06:00:00", 7, "day2"),   # next epoch: fresh
+        ]
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    time.sleep(1.1)
+    # jump event time past both epochs' retention horizons, then one
+    # more batch so the advanced watermark fires the timeouts
+    mk([("u8", "2024-01-06 12:00:00", 8, "f8")]).coalesce(1).write.parquet(
+        os.path.join(src, "b3")
+    )
+    time.sleep(1.1)
+    mk([("u9", "2024-01-06 13:00:00", 9, "f9")]).coalesce(1).write.parquet(
+        os.path.join(src, "b4")
+    )
+
+    from text_search_spark.streaming.windows import latest_snapshot_stream_epoch
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, fetch_id long, text string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        latest_snapshot_stream_epoch(stream, n_buckets=4)
+        .writeStream.format("memory")
+        .queryName("snap_ep")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_snap_ep"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("snap_ep").collect()
+    emitted = sorted(
+        (r.url, str(r.epoch), r.fetch_id, r.text) for r in rows
+    )
+    assert emitted == [
+        ("u1", "2024-01-01 00:00:00", 2, "v2"),   # batch-collapsed winner
+        ("u1", "2024-01-01 00:00:00", 6, "v3"),   # upsert on newer fetch
+        ("u1", "2024-01-02 00:00:00", 7, "day2"),  # fresh per epoch
+        ("u8", "2024-01-06 00:00:00", 8, "f8"),
+        ("u9", "2024-01-06 00:00:00", 9, "f9"),
+    ]
+    # eviction: day-1 and day-2 groups are behind the watermark horizon;
+    # only day-6's (epoch, bucket) groups for u8/u9 remain
+    n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    assert n_state == 2, q.lastProgress["stateOperators"][0]

@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -221,97 +221,177 @@ _SNAP_STATE_SCHEMA = (
 _SNAP_OUT_SCHEMA = (
     "url string, warc_ts timestamp, fetch_id long, text string"
 )
+_SNAP_EPOCH_OUT_SCHEMA = _SNAP_OUT_SCHEMA + ", epoch timestamp"
 
 
-def _snapshot_fn(
-    key,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    import numpy as np
+def _make_snapshot_fn(unit_ms: Optional[int] = None, ttl_units: int = 0):
+    """Factory for the snapshot-winner state function. unit_ms=None:
+    the unbounded per-url-bucket form (NoTimeout). unit_ms set: the
+    epoch-scoped bounded form — key is (epoch, bucket), the output
+    carries the epoch column, and state is evicted by event-time
+    timeout at epoch start + (1+ttl_units) units (the
+    dedup_stream_epoch retention recipe)."""
 
-    # state = this url-bucket's current winners, three parallel arrays
-    # kept SORTED by url so lookups are searchsorted, inserts one
-    # sorted-merge pass, and a batch that changes nothing writes nothing
-    if state.exists:
-        urls, ts_ns, tie = (
-            np.asarray(state.get[0], dtype=object),
-            np.asarray(state.get[1], dtype=np.int64),
-            np.asarray(state.get[2], dtype=np.int64),
-        )
-    else:
-        urls = np.empty(0, dtype=object)
-        ts_ns = np.empty(0, dtype=np.int64)
-        tie = np.empty(0, dtype=np.int64)
-    dirty = False
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        # collapse WITHIN the batch first: keep each url's max
-        # (warc_ts, fetch_id) row, so state sees one candidate per url.
-        # na_position='first' makes a null warc_ts LOSE to any real
-        # timestamp (pandas sorts NaT last by default — the opposite of
-        # the batch operator's pinned null contract); NaT that still
-        # wins (all-null url) becomes int64-min below and can never
-        # beat a real state entry.
-        pdf = (
-            pdf.sort_values(
-                ["url", "warc_ts", "fetch_id"], na_position="first"
-            )
-            .groupby("url", sort=True)
-            .tail(1)
-            .reset_index(drop=True)
-        )
-        b_urls = pdf["url"].to_numpy(dtype=object)
-        b_ts = (
-            pdf["warc_ts"].astype("datetime64[ns]").to_numpy().astype(np.int64)
-        )
-        b_tie = pdf["fetch_id"].to_numpy(dtype=np.int64)
-        if urls.size:
-            idx = np.searchsorted(urls, b_urls)
-            safe = np.minimum(idx, urls.size - 1)
-            found = urls[safe] == b_urls
-            fidx = safe[found]
-            newer = (b_ts[found] > ts_ns[fidx]) | (
-                (b_ts[found] == ts_ns[fidx]) & (b_tie[found] > tie[fidx])
+    def fn(
+        key,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out_cols = ["url", "warc_ts", "fetch_id", "text"]
+        if unit_ms is not None:
+            if state.hasTimedOut:
+                # watermark passed this (epoch, bucket)'s horizon —
+                # drop the whole winner set; a straggler snapshot for
+                # the epoch is watermark-filtered (or worst case
+                # re-emitted once) — state is what's bounded
+                state.remove()
+                yield from ()
+                return
+            out_cols.append("epoch")
+        # state = this bucket's current winners, three parallel arrays
+        # kept SORTED by url so lookups are searchsorted, inserts one
+        # sorted-merge pass, and a batch that changes nothing writes
+        # nothing
+        if state.exists:
+            urls, ts_ns, tie = (
+                np.asarray(state.get[0], dtype=object),
+                np.asarray(state.get[1], dtype=np.int64),
+                np.asarray(state.get[2], dtype=np.int64),
             )
         else:
-            found = np.zeros(b_urls.shape, dtype=bool)
-            newer = np.empty(0, dtype=bool)
-        # existing urls beaten by a newer snapshot: update in place
-        upd = fidx[newer] if urls.size else np.empty(0, dtype=np.int64)
-        if upd.size:
-            src = np.flatnonzero(found)[newer]
-            ts_ns[upd] = b_ts[src]
-            tie[upd] = b_tie[src]
-            dirty = True
-        # unseen urls: sorted-merge insert
-        new_mask = ~found
-        if new_mask.any():
-            n_urls = b_urls[new_mask]
-            pos = np.searchsorted(urls, n_urls)
-            total = urls.size + n_urls.size
-            keep = np.ones(total, dtype=bool)
-            keep[pos + np.arange(n_urls.size)] = False
-            m_urls = np.empty(total, dtype=object)
-            m_ts = np.empty(total, dtype=np.int64)
-            m_tie = np.empty(total, dtype=np.int64)
-            m_urls[~keep] = n_urls
-            m_ts[~keep] = b_ts[new_mask]
-            m_tie[~keep] = b_tie[new_mask]
-            m_urls[keep] = urls
-            m_ts[keep] = ts_ns
-            m_tie[keep] = tie
-            urls, ts_ns, tie = m_urls, m_ts, m_tie
-            dirty = True
-        won = new_mask.copy()
-        if urls.size and found.any():
-            won[np.flatnonzero(found)[newer]] = True
-        out = pdf[won]
-        if len(out):
-            yield out[["url", "warc_ts", "fetch_id", "text"]]
-    if dirty:
-        state.update((urls.tolist(), ts_ns.tolist(), tie.tolist()))
+            urls = np.empty(0, dtype=object)
+            ts_ns = np.empty(0, dtype=np.int64)
+            tie = np.empty(0, dtype=np.int64)
+        dirty = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # collapse WITHIN the batch first: keep each url's max
+            # (warc_ts, fetch_id) row, so state sees one candidate per url.
+            # na_position='first' makes a null warc_ts LOSE to any real
+            # timestamp (pandas sorts NaT last by default — the opposite of
+            # the batch operator's pinned null contract); NaT that still
+            # wins (all-null url) becomes int64-min below and can never
+            # beat a real state entry.
+            pdf = (
+                pdf.sort_values(
+                    ["url", "warc_ts", "fetch_id"], na_position="first"
+                )
+                .groupby("url", sort=True)
+                .tail(1)
+                .reset_index(drop=True)
+            )
+            b_urls = pdf["url"].to_numpy(dtype=object)
+            b_ts = (
+                pdf["warc_ts"].astype("datetime64[ns]").to_numpy().astype(np.int64)
+            )
+            b_tie = pdf["fetch_id"].to_numpy(dtype=np.int64)
+            if urls.size:
+                idx = np.searchsorted(urls, b_urls)
+                safe = np.minimum(idx, urls.size - 1)
+                found = urls[safe] == b_urls
+                fidx = safe[found]
+                newer = (b_ts[found] > ts_ns[fidx]) | (
+                    (b_ts[found] == ts_ns[fidx]) & (b_tie[found] > tie[fidx])
+                )
+            else:
+                found = np.zeros(b_urls.shape, dtype=bool)
+                newer = np.empty(0, dtype=bool)
+            # existing urls beaten by a newer snapshot: update in place
+            upd = fidx[newer] if urls.size else np.empty(0, dtype=np.int64)
+            if upd.size:
+                src = np.flatnonzero(found)[newer]
+                ts_ns[upd] = b_ts[src]
+                tie[upd] = b_tie[src]
+                dirty = True
+            # unseen urls: sorted-merge insert
+            new_mask = ~found
+            if new_mask.any():
+                n_urls = b_urls[new_mask]
+                pos = np.searchsorted(urls, n_urls)
+                total = urls.size + n_urls.size
+                keep = np.ones(total, dtype=bool)
+                keep[pos + np.arange(n_urls.size)] = False
+                m_urls = np.empty(total, dtype=object)
+                m_ts = np.empty(total, dtype=np.int64)
+                m_tie = np.empty(total, dtype=np.int64)
+                m_urls[~keep] = n_urls
+                m_ts[~keep] = b_ts[new_mask]
+                m_tie[~keep] = b_tie[new_mask]
+                m_urls[keep] = urls
+                m_ts[keep] = ts_ns
+                m_tie[keep] = tie
+                urls, ts_ns, tie = m_urls, m_ts, m_tie
+                dirty = True
+            won = new_mask.copy()
+            if urls.size and found.any():
+                won[np.flatnonzero(found)[newer]] = True
+            out = pdf[won]
+            if len(out):
+                yield out[out_cols]
+        if dirty:
+            state.update((urls.tolist(), ts_ns.tolist(), tie.tolist()))
+        if unit_ms is not None:
+            # retention horizon: epoch start + (1 + ttl) units — set on
+            # EVERY invocation (clean batches included) so eviction
+            # never depends on a state write
+            epoch_ts, _bucket = key
+            epoch_ms = int(pd.Timestamp(epoch_ts).value // 1_000_000)
+            state.setTimeoutTimestamp(epoch_ms + (1 + ttl_units) * unit_ms)
+
+    return fn
+
+
+_snapshot_fn = _make_snapshot_fn()
+
+
+def latest_snapshot_stream_epoch(
+    pages: DataFrame,
+    n_buckets: int = 64,
+    ts_col: str = "warc_ts",
+    epoch_unit: str = "day",
+    watermark: str = "2 hours",
+    ttl_units: int = 1,
+) -> DataFrame:
+    """BOUNDED-STATE refetch dedup: latest_snapshot_stream semantics
+    WITHIN an event-time epoch (date_trunc(epoch_unit, warc_ts)) — one
+    upsert stream per crawl window, state keyed by (epoch, bucket) and
+    EVICTED once the watermark passes epoch start + (1+ttl_units)
+    units (the dedup_stream_epoch retention recipe). A url refetched
+    inside its epoch collapses to the newest (warc_ts, fetch_id)
+    winner; the SAME url in a later epoch starts fresh (per-window
+    winners are exactly what an Iceberg MERGE-per-crawl-window sink
+    consumes). State is bounded by (distinct urls per epoch) x (epochs
+    in the horizon), independent of stream lifetime.
+
+    Contract: null urls dropped (as latest_snapshot_stream); rows with
+    null warc_ts are dropped TOO — they have no epoch (the unbounded
+    variant keeps them as weakest candidates). Output adds the epoch
+    column."""
+    if epoch_unit not in _EPOCH_UNIT_MS:
+        raise ValueError(f"epoch_unit must be one of {list(_EPOCH_UNIT_MS)}")
+    src = pages.where(
+        F.col("url").isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if pages.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.withColumn("epoch", F.date_trunc(epoch_unit, F.col(ts_col)))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"),
+        )
+        .groupBy("epoch", "bucket")
+        .applyInPandasWithState(
+            _make_snapshot_fn(_EPOCH_UNIT_MS[epoch_unit], ttl_units),
+            outputStructType=_SNAP_EPOCH_OUT_SCHEMA,
+            stateStructType=_SNAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def latest_snapshot_stream(
@@ -336,10 +416,12 @@ def latest_snapshot_stream(
     State: per url-bucket (pmod(xxhash64(url))), three sorted parallel
     arrays url/ts/tie — the payload is NOT stored (it is emitted the
     moment it wins). State size is the distinct-url count, i.e. the
-    table's key set: at full-crawl scale the authoritative merge lives
-    in the table sink and this operator runs per crawl window to
-    collapse refetch churn before the sink (same bounded-epoch options
-    as dedup_stream_epoch apply)."""
+    table's key set: UNBOUNDED in distinct urls (NoTimeout — nothing
+    is ever evicted; the price of a single global winner per url). At
+    full-crawl scale the authoritative merge lives in the table sink —
+    use latest_snapshot_stream_epoch for bounded state (per-crawl-
+    window winners, watermark-evicted the way dedup_stream_epoch
+    is)."""
     return (
         pages.where(F.col("url").isNotNull())
         .withColumn(
