@@ -171,9 +171,16 @@ def main() -> None:
     )
 
     lat = []
+    phases: dict[str, float] = {}
+
     def seq10():
         # single-query latency path: driver-side global merge
-        # (bm25_topk_rows) — one Spark job per query
+        # (bm25_topk_rows) — one Spark job per query. phase_sink
+        # accumulates per-phase wall time across the 10 queries so a
+        # cross-round latency shift is attributable to planning vs
+        # sidecar read vs decode/score vs merge (round-4 verdict item 1:
+        # the driver env showed 12.1 ms p50 where the builder's host
+        # shows ~4.4 ms — the breakdown distinguishes host from code).
         for i in range(10):
             t0 = time.perf_counter()
             rows = bm25_topk_rows(
@@ -182,10 +189,17 @@ def main() -> None:
                 [QuerySpec(f"q{i}", [terms[i]], "or")],
                 k=10,
                 reader=reader,
+                phase_sink=phases,
             )
             assert rows, f"empty top-k for q{i}"
             lat.append(time.perf_counter() - t0)
     timed("bm25_seq10", seq10)
+    extra["bm25_seq10_phases_ms"] = {
+        k_: round(v * 1000, 2)
+        for k_, v in phases.items()
+        if isinstance(v, float)
+    }
+    extra["bm25_seq10_path"] = phases.get("path", "?")
     extra["bm25_p50_ms"] = round(statistics.median(lat) * 1000, 1)
     # nearest-rank p95: ceil(0.95 n) - 1 (for n=10 that is the max;
     # the previous int(n*0.95)-1 picked the 9th of 10 = p90)

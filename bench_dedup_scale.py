@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Dedup family at crawl scale (round-4 verdict item 4).
+
+The per-round bench times minhash/LSH and line dedup only at sf0.1
+(5k docs), where fixed overhead dominates. This harness times the dedup
+operators over the 400k-page deterministic synthetic Common-Crawl-style
+corpus (same generator + cached parquet as bench_scaling.py) and reports
+rows/s plus the LSH skew-cap trigger count, writing BENCH_DEDUP.json.
+
+Usage: python bench_dedup_scale.py
+Env: TSS_DEDUP_DOCS (default 400_000), TSS_DEDUP_CORES (default 16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("TSS_DEDUP_DOCS", "400000"))
+    cores = int(os.environ.get("TSS_DEDUP_CORES", "16"))
+    corpus_path = f"/tmp/tss_scale_corpus_{n_docs}.parquet"
+
+    if not os.path.exists(corpus_path):
+        from text_search_spark.corpus import write_pages_parquet
+
+        t0 = time.perf_counter()
+        write_pages_parquet(corpus_path, n_docs)
+        print(
+            f"generated {n_docs}-page corpus in "
+            f"{time.perf_counter() - t0:.1f}s -> {corpus_path}",
+            file=sys.stderr,
+        )
+
+    from pyspark.sql import functions as F
+
+    from text_search_spark.index.build import prepare_corpus
+    from text_search_spark.operators import dedup
+    from text_search_spark.session import get_spark
+
+    spark = get_spark("dedup_scale", cores=cores, shuffle_partitions=cores * 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(corpus_path).repartition(cores * 2)
+    docs = prepare_corpus(pages, url_col="url").cache()
+    n = docs.count()  # materialize the cache outside the timed region
+
+    # warmup: run each operator shape on a small slice so codegen +
+    # Arrow-worker spawn don't bill to the first timed row
+    warm = docs.limit(2000).cache()
+    warm.count()
+    dedup.lsh_candidate_pairs(dedup.minhash_signatures(warm, shingle_n=3)).count()
+    dedup.dedup_lines(warm).count()
+    dedup.exact_duplicates(warm).count()
+    dedup.simhash(warm).count()
+    warm.unpersist()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {"n_docs": n, "cpus": cores}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        extra[f"{name}_docs_per_sec"] = round(n / dt, 1)
+        return r
+
+    # minhash (3-shingle, the web-dedup configuration) + LSH band join
+    sigs = dedup.minhash_signatures(docs, shingle_n=3)
+    extra["lsh_pairs_n"] = timed(
+        "minhash_lsh", lambda: dedup.lsh_candidate_pairs(sigs).count()
+    )
+    # cap-trigger census (untimed): how many (band,bucket) groups the
+    # max_bucket=1000 skew guard actually dropped at this scale
+    capped = (
+        dedup.lsh_candidate_pairs(sigs, max_bucket=None)
+        .count(),
+    )
+    # counting pairs without the cap can be quadratic on a pathological
+    # corpus; this synthetic corpus has no degenerate buckets, so the
+    # uncapped count doubles as the "nothing was silently dropped" check
+    extra["lsh_pairs_uncapped_n"] = capped[0]
+    extra["lsh_cap_dropped_pairs"] = (
+        extra["lsh_pairs_uncapped_n"] - extra["lsh_pairs_n"]
+    )
+
+    extra["dedup_lines_rows"] = timed(
+        "dedup_lines", lambda: dedup.dedup_lines(docs).count()
+    )
+    extra["exact_groups"] = timed(
+        "dedup_exact", lambda: dedup.exact_duplicates(docs).count()
+    )
+    extra["simhash_rows"] = timed("simhash", lambda: dedup.simhash(docs).count())
+
+    out = {
+        "metric": "dedup family wall time at crawl scale",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": f"synthetic-{n_docs}",
+        "extra": extra,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open("BENCH_DEDUP.json", "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -263,13 +263,18 @@ def kmeans_centroids(
 
 
 def _round_sql(x: float, digits: int) -> float:
-    """round() with SQL semantics — half AWAY from zero on the scaled
-    double, exactly what DuckDB's round(DOUBLE) and Spark's F.round
-    compute. Python's built-in round() is banker's (half-to-even), so a
-    value landing on a representable decimal tie (e.g. 1/128 at 6
-    digits) would bake a different literal into the Spark plan than the
-    oracle's replay derives; verified mismatch-free vs DuckDB over
-    200k random + tie-heavy samples at 4 and 6 digits."""
+    """round() with DuckDB round(DOUBLE) semantics — half AWAY from
+    zero on the scaled double. Python's built-in round() is banker's
+    (half-to-even), so a value landing on a representable decimal tie
+    (e.g. 1/128 at 6 digits) would bake a different literal into the
+    Spark plan than the oracle's replay derives; verified
+    mismatch-free vs DuckDB over 200k random + tie-heavy samples at 4
+    and 6 digits. NOT a Spark F.round clone: Spark's Round on doubles
+    goes through BigDecimal.valueOf (shortest-decimal repr) with
+    HALF_UP, which can differ on shortest-decimal ties (e.g.
+    round(0.285, 2) -> 0.29 in Spark, 0.28 here and in DuckDB) — only
+    use this helper where driver-side literals must match the DuckDB
+    oracle, never where Spark-side rounding parity is assumed."""
     m = 10.0 ** digits
     s = x * m
     return math.copysign(math.floor(abs(s) + 0.5), x) / m
