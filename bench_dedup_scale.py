@@ -49,8 +49,10 @@ def main() -> None:
     n = docs.count()  # materialize the cache outside the timed region
 
     # warmup: run each operator shape on a small slice so codegen +
-    # Arrow-worker spawn don't bill to the first timed row
-    warm = docs.limit(2000).cache()
+    # Arrow-worker spawn don't bill to the first timed row. limit()
+    # collapses to ONE partition — repartition so the warmup actually
+    # exercises the parallel path instead of serializing on one task
+    warm = docs.limit(2000).repartition(cores).cache()
     warm.count()
     dedup.lsh_candidate_pairs(dedup.minhash_signatures(warm, shingle_n=3)).count()
     dedup.dedup_lines(warm).count()
@@ -69,24 +71,27 @@ def main() -> None:
         extra[f"{name}_docs_per_sec"] = round(n / dt, 1)
         return r
 
-    # minhash (3-shingle, the web-dedup configuration) + LSH band join
-    sigs = dedup.minhash_signatures(docs, shingle_n=3)
-    extra["lsh_pairs_n"] = timed(
-        "minhash_lsh", lambda: dedup.lsh_candidate_pairs(sigs).count()
-    )
-    # cap-trigger census (untimed): how many (band,bucket) groups the
-    # max_bucket=1000 skew guard actually dropped at this scale
-    capped = (
-        dedup.lsh_candidate_pairs(sigs, max_bucket=None)
-        .count(),
-    )
-    # counting pairs without the cap can be quadratic on a pathological
-    # corpus; this synthetic corpus has no degenerate buckets, so the
-    # uncapped count doubles as the "nothing was silently dropped" check
-    extra["lsh_pairs_uncapped_n"] = capped[0]
-    extra["lsh_cap_dropped_pairs"] = (
-        extra["lsh_pairs_uncapped_n"] - extra["lsh_pairs_n"]
-    )
+    # minhash (3-shingle, the web-dedup configuration) + LSH band join.
+    # The signatures are PERSISTED inside the timed region — that is the
+    # honest production shape (signatures are computed once and reused
+    # by every downstream band/census pass), and it keeps the cap
+    # census below from re-running the whole 3-shingle minhash (which
+    # on this VM is the dominant cost and previously doubled the run
+    # past the harness timeout).
+    sigs = dedup.minhash_signatures(docs, shingle_n=3).persist()
+
+    def _minhash_lsh():
+        sigs.count()  # materialize signatures (timed: part of the op)
+        return dedup.lsh_candidate_pairs(sigs).count()
+
+    extra["lsh_pairs_n"] = timed("minhash_lsh", _minhash_lsh)
+    # cap-trigger census (untimed, over the cached sigs; bucket-size
+    # aggregation only — never a pair expansion, so it cannot go
+    # quadratic on a degenerate corpus)
+    n_capped, dropped_ub = dedup.lsh_capped_census(sigs)
+    extra["lsh_capped_buckets"] = n_capped
+    extra["lsh_cap_dropped_pairs_ub"] = dropped_ub
+    sigs.unpersist()
 
     extra["dedup_lines_rows"] = timed(
         "dedup_lines", lambda: dedup.dedup_lines(docs).count()

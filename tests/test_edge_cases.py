@@ -175,3 +175,25 @@ def test_pii_masking_semantics(spark):
     assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (2, 1, 1)
     assert out[2].n_ipv4 == 1  # documented: shape-match, not range-valid
     assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 0)
+
+
+def test_lsh_capped_census_counts_degenerate_buckets(spark):
+    """lsh_capped_census reports what the skew cap drops, without ever
+    expanding pairs: 4 identical signatures collide in EVERY band, so
+    with max_bucket=2 each band's bucket (size 4 > 2) is capped and the
+    dropped-pairs upper bound is bands * C(4,2)."""
+    from text_search_spark.operators import dedup
+
+    n_h = dedup.NUM_MINHASHES
+    rows = [tuple([i] + [7] * n_h) for i in range(4)]  # identical sigs
+    rows.append(tuple([99] + list(range(100, 100 + n_h))))  # distinct
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"h{i} string" for i in range(n_h))
+    )
+    n_capped, dropped_ub = dedup.lsh_capped_census(sigs, max_bucket=2)
+    bands = n_h // 2
+    assert n_capped == bands
+    assert dropped_ub == bands * 6
+    # and the guard really drops them from the pair expansion
+    assert dedup.lsh_candidate_pairs(sigs, max_bucket=2).count() == 0
+    assert dedup.lsh_candidate_pairs(sigs, max_bucket=None).count() == 6

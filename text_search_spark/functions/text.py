@@ -36,7 +36,15 @@ def bit_of_nibble(nib: Column, k: int) -> Column:
 
 
 def shingles(tokens_col: Column, n: int = 3) -> Column:
-    """Array of n-gram shingle strings from a token array (JVM-side)."""
+    """Array of n-gram shingle strings from a token array (JVM-side).
+
+    CONTRACT: pass a MATERIALIZED column (an attribute ref like
+    F.col("toks") from a prior projection), never an inline expression
+    such as spark_tokens(...): the transform lambda below references
+    tokens_col per element, and a non-materialized expression is
+    RE-EVALUATED once per shingle — an inlined tokenizer is
+    O(n_tokens^2) per document (measured 23x slowdown at 400k pages;
+    BENCH.md round-5)."""
     # transform over index range; slice(tokens, i, n) joined by single space
     size = F.size(tokens_col)
     return F.when(size < n, F.array().cast("array<string>")).otherwise(

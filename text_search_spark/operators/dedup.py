@@ -66,12 +66,26 @@ def minhash_signatures(
     if shingle_n is None:
         units = _distinct_terms(df, text_col, id_col)
     else:
-        units = df.select(
-            F.col(id_col),
-            F.explode(
-                shingles(spark_tokens(F.col(text_col)), shingle_n)
-            ).alias("term"),
-        ).distinct()
+        # tokens MUST be materialized as their own projected column
+        # before shingles()'s transform lambda references them: an
+        # expression inside a transform() lambda is re-evaluated PER
+        # ELEMENT (no cross-lambda CSE), so inlining spark_tokens here
+        # re-ran the whole tokenizer once per shingle — O(n_tokens^2)
+        # per doc, measured as 24 min for 400k pages at 16 cores
+        # (BENCH.md round-5; same disease as the r4 langid fix)
+        units = (
+            df.select(
+                F.col(id_col),
+                spark_tokens(F.col(text_col)).alias("_toks"),
+            )
+            .select(
+                F.col(id_col),
+                F.explode(shingles(F.col("_toks"), shingle_n)).alias(
+                    "term"
+                ),
+            )
+            .distinct()
+        )
     aggs = [
         F.min(minhash_col(F.col("term"), i)).alias(f"h{i}")
         for i in range(num_hashes)
@@ -79,19 +93,14 @@ def minhash_signatures(
     return units.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def _band_buckets(
     sigs: DataFrame,
-    id_col: str = "doc_id",
-    rows_per_band: int = 2,
-    num_hashes: int = NUM_MINHASHES,
-    max_bucket: Optional[int] = 1000,
+    id_col: str,
+    rows_per_band: int,
+    num_hashes: int,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
-
-    Buckets larger than max_bucket are dropped (head-bucket skew guard —
-    a degenerate bucket of size m yields m^2/2 pairs; at web scale those
-    buckets are boilerplate and handled by exact_duplicates instead).
-    """
+    """(id, band, bucket) — one row per signature per LSH band; shared
+    by the pair expansion and the skew-cap census."""
     bands = []
     for b in range(num_hashes // rows_per_band):
         cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -105,6 +114,53 @@ def lsh_candidate_pairs(
     all_bands = bands[0]
     for x in bands[1:]:
         all_bands = all_bands.unionByName(x)
+    return all_bands
+
+
+def lsh_capped_census(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    num_hashes: int = NUM_MINHASHES,
+    max_bucket: int = 1000,
+):
+    """(n_capped_buckets, dropped_pairs_upper_bound) — how many
+    (band, bucket) groups the max_bucket skew guard drops and the sum
+    of C(n,2) over them (an UPPER bound on dropped candidate pairs:
+    cross-band and distinct() dedup would shrink it). Never expands
+    pairs, so a degenerate corpus cannot go quadratic here — this is
+    the no-silent-caps report for dedup runs at scale."""
+    row = (
+        _band_buckets(sigs, id_col, rows_per_band, num_hashes)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select(
+            F.count("*").alias("n_capped"),
+            F.coalesce(
+                F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)
+            ).cast("long").alias("dropped_ub"),
+        )
+        .first()
+    )
+    return int(row["n_capped"]), int(row["dropped_ub"])
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    num_hashes: int = NUM_MINHASHES,
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    Buckets larger than max_bucket are dropped (head-bucket skew guard —
+    a degenerate bucket of size m yields m^2/2 pairs; at web scale those
+    buckets are boilerplate and handled by exact_duplicates instead;
+    lsh_capped_census reports what the guard dropped).
+    """
+    all_bands = _band_buckets(sigs, id_col, rows_per_band, num_hashes)
     # ONE shuffle: group ids per (band, bucket), expand pairs JVM-side
     # (nested transform — no self-join), then distinct. Bucket cap applies
     # before the quadratic expansion.
@@ -183,7 +239,13 @@ def ngram_jaccard_pairs(
     sh = (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(shingles(spark_tokens(F.col(text_col)), n)).alias("sh"),
+            # tokens projected first — see minhash_signatures: inlining
+            # the tokenizer into shingles()'s lambda re-runs it per
+            # shingle (O(n^2) per doc)
+            spark_tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "id", F.explode(shingles(F.col("_toks"), n)).alias("sh")
         )
         .distinct()
     )

@@ -108,10 +108,16 @@ def doc_fingerprint(
     """(id, fp, min_shingle) — fp = md5 of normalized text (exact-dup key),
     min_shingle = lexicographic min md5 over word n-gram shingles (a 1-slot
     minhash; robust to small edits)."""
-    toks = spark_tokens(F.col(text_col))
+    # tokens projected first: shingles()'s transform lambda re-evaluates
+    # any non-materialized expression it references PER ELEMENT — an
+    # inlined tokenizer here is O(n_tokens^2) per doc (dedup.py round-5
+    # fix; same disease as the r4 langid one)
+    toks = F.col("_toks")
     sh = shingles(toks, n)
     min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return df.select(
+        F.col(id_col), spark_tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
         F.md5(F.array_join(toks, " ")).alias("fp"),
         min_sh.alias("min_shingle"),
@@ -293,8 +299,16 @@ def profile(
 
     Columns: (doc_id, n_chars, n_tokens, n_distinct, avg_token_len,
     stopword_ratio, distinct_ratio, <lang>_cnt..., pred_lang, fp,
-    min_shingle, n_bpe_tokens)."""
-    toks = spark_tokens(F.col(text_col))
+    min_shingle, n_bpe_tokens).
+
+    The token array is materialized as its own projected column first
+    (one scan, two stacked projections, still zero shuffles): the
+    shingle builder's transform lambda re-evaluates non-materialized
+    referenced expressions per element — an inlined tokenizer there is
+    O(n_tokens^2) per doc — and materializing also guarantees the
+    tokenizer runs ONCE per row for all metric families regardless of
+    per-column subexpression-elimination behavior."""
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
@@ -339,7 +353,11 @@ def profile(
             ),
         ]
     )
-    out = df.select(*cols)
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        spark_tokens(F.col(text_col)).alias("_toks"),
+    ).select(*cols)
     return out.withColumn(
         "pred_lang",
         _argmax_lang(LANG_ORDER, lambda lg: F.col(f"{lg}_cnt")),
