@@ -139,8 +139,14 @@ def list_segment_files(index_dir: str) -> List[str]:
         return out
     for d, _dirs, files in os.walk(root):
         rel = os.path.relpath(d, root)
+        # never snapshot committer staging (a crashed job's _temporary
+        # tree also holds .parquet files) or hidden/_ metadata files
+        if rel != "." and any(
+            p.startswith(("_", ".")) for p in rel.split(os.sep)
+        ):
+            continue
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(f if rel == "." else os.path.join(rel, f))
     return sorted(out)
 
