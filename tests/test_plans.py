@@ -306,3 +306,30 @@ def test_fused_build_gate_falls_back(spark, tmp_path, monkeypatch):
     from text_search_spark.index import format as ixfmt
 
     assert ixfmt.load_manifest(ix).complete
+
+
+def test_shingle_minhash_tokenizer_evaluated_once(spark):
+    """The tokenizer must appear EXACTLY once in the shingle-minhash
+    physical plan: shingles()'s transform lambda references the token
+    array per element, so an inlined (non-materialized) tokenizer
+    re-runs once per shingle — O(n_tokens^2) per document, measured as
+    273 -> 8,584 docs/s (31x) at 400k pages when fixed (BENCH.md
+    round-5). regexp_replace is the tokenizer's distinctive op
+    (spark_normalize's whitespace collapse); spark_tokens references
+    the normalize chain twice textually (empty-guard + split), so the
+    materialized baseline is exactly 2 occurrences — the inlined
+    quadratic form measures 6 (guard + size + per-element slice)."""
+    from text_search_spark.operators import dedup
+    from text_search_spark.operators.textstats import (
+        doc_fingerprint,
+        profile,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    for out in (
+        dedup.minhash_signatures(docs, shingle_n=3),
+        doc_fingerprint(docs),
+        profile(docs),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("regexp_replace") == 2, plan[:4000]
