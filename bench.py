@@ -201,6 +201,21 @@ def main() -> None:
     }
     extra["bm25_seq10_path"] = phases.get("path", "?")
     extra["bm25_p50_ms"] = round(statistics.median(lat) * 1000, 1)
+    # same 10 queries again on the SAME reader: the decoded-postings
+    # LRU cache answers without the sidecar read (the measured ~85% of
+    # cold latency) — the repeat/warm p50 a real query mix would see
+    rlat = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        bm25_topk_rows(
+            spark,
+            index_dir,
+            [QuerySpec(f"q{i}", [terms[i]], "or")],
+            k=10,
+            reader=reader,
+        )
+        rlat.append(time.perf_counter() - t0)
+    extra["bm25_repeat_p50_ms"] = round(statistics.median(rlat) * 1000, 2)
     # nearest-rank p95: ceil(0.95 n) - 1 (for n=10 that is the max;
     # the previous int(n*0.95)-1 picked the 9th of 10 = p90)
     extra["bm25_p95_ms"] = round(

@@ -71,12 +71,47 @@ class QuerySpec:
 
 
 class IndexReader:
+    # total decoded postings the driver-side cache may hold (LRU evict
+    # beyond it; 0 disables). 8M postings ~ 200 MB of int64 arrays —
+    # per reader, on the DRIVER only (executor paths never cache).
+    POSTINGS_CACHE_MAX = 8_000_000
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = self._load_validated()
         self._df_cache: Dict[str, int] = {}
         self._segments_df: Optional[DataFrame] = None
+        # term_id -> list[(docs, tfs, dls)] decoded postings, LRU via
+        # OrderedDict order; bounded by total postings, not entries
+        from collections import OrderedDict
+
+        self.postings_cache_max_postings = self.POSTINGS_CACHE_MAX
+        self._postings_cache: "OrderedDict[int, List[tuple]]" = (
+            OrderedDict()
+        )
+        self._postings_cache_size = 0
+
+    def _postings_cache_put(self, tid: int, rows: List[tuple]) -> None:
+        """Insert decoded postings for one term, LRU-evicting until the
+        total-postings budget holds. A single term bigger than the whole
+        budget is not cached (it would evict everything for one entry)."""
+        n = sum(d.size for d, _t, _l in rows)
+        cap = self.postings_cache_max_postings
+        if cap <= 0 or n > cap:
+            return
+        old = self._postings_cache.pop(tid, None)
+        if old is not None:
+            self._postings_cache_size -= sum(
+                d.size for d, _t, _l in old
+            )
+        while self._postings_cache and self._postings_cache_size + n > cap:
+            _etid, erows = self._postings_cache.popitem(last=False)
+            self._postings_cache_size -= sum(
+                d.size for d, _t, _l in erows
+            )
+        self._postings_cache[tid] = rows
+        self._postings_cache_size += n
 
     def _load_validated(self) -> "fmt.IndexManifest":
         """Load + validate the manifest — shared by __init__ and
@@ -105,6 +140,9 @@ class IndexReader:
         self.manifest = self._load_validated()
         self._df_cache.clear()
         self._segments_df = None
+        # a new snapshot may have appended segment rows to ANY term
+        self._postings_cache.clear()
+        self._postings_cache_size = 0
 
     def segments(self) -> DataFrame:
         # reuse one DataFrame across queries: the file listing + parquet
@@ -738,56 +776,92 @@ def _score_single_term_local(
     phase_sink: optional dict accumulating wall seconds for the two
     sub-phases ("read_s" = pyarrow dataset open + filtered to_table,
     "score_s" = posting decode + BM25 partial + top-k) — bench
-    triage instrumentation, zero cost when None."""
+    triage instrumentation, zero cost when None. Cache hits skip
+    read_s entirely (the phase table is how the cache's effect shows
+    up in BENCH).
+
+    Decoded postings are cached per term on the reader (LRU, bounded
+    by reader.postings_cache_max_postings total postings): the phase
+    triage showed the sidecar READ is ~85% of single-query latency, so
+    a repeated term answers from memory at score+merge cost only.
+    refresh() invalidates (a new snapshot may append rows to any
+    term)."""
     import os
     import time as _time
 
     import pyarrow.dataset as pads
 
+    from ..functions.xxhash import pmod
+
     seg_root = fmt.segments_dir(reader.index_dir)
+    cache = reader._postings_cache
     id_list = sorted(qplan)
-    out: List[Tuple[str, int, float]] = []
-    for b in blist:
-        flist = reader.segment_files_for_bucket(b)
-        if flist is not None:
-            if not flist:
-                continue
-            src = flist  # manifest-committed snapshot file set
-        else:
-            src = os.path.join(seg_root, f"term_bucket={b}")
-            if not os.path.isdir(src):
-                continue
-        t0 = _time.perf_counter() if phase_sink is not None else 0.0
-        tbl = pads.dataset(src, format="parquet").to_table(
-            columns=["term_id", "postings"],
-            filter=pads.field("term_id").isin(id_list),
-        )
-        if phase_sink is not None:
-            t1 = _time.perf_counter()
-            phase_sink["read_s"] = (
-                phase_sink.get("read_s", 0.0) + t1 - t0
+    missing = [t for t in id_list if t not in cache]
+    fetched: Dict[int, List[tuple]] = {}
+    if missing:
+        nb = reader.manifest.n_buckets
+        need_buckets = sorted({pmod(t, nb) for t in missing})
+        for b in need_buckets:
+            flist = reader.segment_files_for_bucket(b)
+            if flist is not None:
+                if not flist:
+                    continue
+                src = flist  # manifest-committed snapshot file set
+            else:
+                src = os.path.join(seg_root, f"term_bucket={b}")
+                if not os.path.isdir(src):
+                    continue
+            t0 = _time.perf_counter() if phase_sink is not None else 0.0
+            tbl = pads.dataset(src, format="parquet").to_table(
+                columns=["term_id", "postings"],
+                filter=pads.field("term_id").isin(missing),
             )
-        tids = tbl["term_id"].to_numpy()
-        posts = tbl["postings"].to_pylist()
-        for tid, pbuf in zip(tids, posts):
-            specs = qplan.get(int(tid))
-            if not specs:
-                continue
-            docs, tfs, dls = decode_block_postings(bytes(pbuf))
-            if docs.size == 0:
-                continue
+            if phase_sink is not None:
+                phase_sink["read_s"] = (
+                    phase_sink.get("read_s", 0.0)
+                    + _time.perf_counter()
+                    - t0
+                )
+            tids = tbl["term_id"].to_numpy()
+            posts = tbl["postings"].to_pylist()
+            t1 = _time.perf_counter() if phase_sink is not None else 0.0
+            for tid, pbuf in zip(tids, posts):
+                docs, tfs, dls = decode_block_postings(bytes(pbuf))
+                if docs.size:
+                    fetched.setdefault(int(tid), []).append(
+                        (docs, tfs, dls)
+                    )
+            if phase_sink is not None:
+                phase_sink["score_s"] = (
+                    phase_sink.get("score_s", 0.0)
+                    + _time.perf_counter()
+                    - t1
+                )
+        for t in missing:
+            # absent terms cache an empty list too — df>0 should make
+            # that impossible, but re-reading every query would be the
+            # worse failure mode
+            reader._postings_cache_put(t, fetched.get(t, []))
+    t1 = _time.perf_counter() if phase_sink is not None else 0.0
+    out: List[Tuple[str, int, float]] = []
+    for tid in id_list:
+        rows = cache.get(tid)
+        if rows is None:
+            rows = fetched.get(tid, [])
+        else:
+            cache.move_to_end(tid)  # LRU touch
+        specs = qplan[tid]
+        for docs, tfs, dls in rows:
             for query_id, w in specs:
                 p = _partial(w, tfs, dls, avgdl)
                 idx = _topk_tiebreak(p, docs, k)
                 out.extend(
                     (query_id, int(docs[j]), float(p[j])) for j in idx
                 )
-        if phase_sink is not None:
-            phase_sink["score_s"] = (
-                phase_sink.get("score_s", 0.0)
-                + _time.perf_counter()
-                - t1
-            )
+    if phase_sink is not None:
+        phase_sink["score_s"] = (
+            phase_sink.get("score_s", 0.0) + _time.perf_counter() - t1
+        )
     return out
 
 
