@@ -77,30 +77,11 @@ def _merge_rows(rows: List[tuple], avgdl: float) -> tuple:
     )
 
 
-def merge_shards(
-    spark: SparkSession, index_dir: str, out_dir: str, factor: int = 2
-) -> None:
-    """Produce a new index at out_dir with n_shards /= factor."""
-    man = fmt.load_manifest(index_dir)
-    assert man is not None and man.complete
-    s_old, s_new = man.n_shards, man.n_shards // factor
-    assert s_new >= 1 and s_old % s_new == 0
-    avgdl = man.avgdl
-
-    src_root = fmt.segments_dir(index_dir)
-    if man.segment_files is not None and not man.segment_files:
-        seg = spark.createDataFrame([], fmt.SEG_READ_SCHEMA)
-    elif man.segment_files is not None:
-        # read the manifest-committed snapshot, not the directory — a
-        # compaction racing a streaming append must not absorb half an
-        # uncommitted batch
-        seg = spark.read.schema(fmt.SEG_READ_SCHEMA).option(
-            "basePath", src_root
-        ).parquet(*(os.path.join(src_root, p) for p in man.segment_files))
-    else:
-        seg = spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(src_root)
-    seg = seg.withColumn("new_shard", (F.col("shard") % s_new).cast("int"))
-
+def _splice_fn(avgdl: float):
+    """mapInPandas fn merging consecutive rows of one (term, new_shard)
+    group (partition is sorted on term_id, new_shard); emits completed
+    groups incrementally so peak memory is bounded by _OUT_ROWS merged
+    segments, not the whole partition."""
     from .build import _OUT_ROWS
 
     _COLS = [
@@ -129,9 +110,6 @@ def merge_shards(
                 key = (int(b["term_id"].iat[i]), int(b["new_shard"].iat[i]))
                 if key != cur_key:
                     flush()
-                    # emit completed groups incrementally so peak memory
-                    # is bounded by _OUT_ROWS merged segments, not the
-                    # whole partition
                     if len(out) >= _OUT_ROWS:
                         yield pd.DataFrame(out, columns=_COLS)
                         out = []
@@ -147,16 +125,57 @@ def merge_shards(
         if out:
             yield pd.DataFrame(out, columns=_COLS)
 
+    return splice
+
+
+def _merged_segments(spark, seg, avgdl, n_buckets, s_new):
+    """The merge plan: shuffle segment rows on (term_bucket, new_shard),
+    sort within partitions, splice consecutive same-key rows."""
+    seg = seg.withColumn("new_shard", (F.col("shard") % s_new).cast("int"))
     schema = "term_bucket int, " + fmt.SEGMENT_SCHEMA
-    merged = (
+    return (
         seg.repartition(
-            max(man.n_buckets, spark.sparkContext.defaultParallelism),
+            max(n_buckets, spark.sparkContext.defaultParallelism),
             "term_bucket",
             "new_shard",
         )
         .sortWithinPartitions("term_id", "new_shard", "shard")
-        .mapInPandas(splice, schema=schema)
+        .mapInPandas(_splice_fn(avgdl), schema=schema)
     )
+
+
+def _read_committed_segments(spark: SparkSession, index_dir: str, man):
+    """The source index's segment rows — exactly the manifest-committed
+    snapshot when the manifest carries a file list (a compaction racing
+    a streaming append must not absorb half an uncommitted batch);
+    directory scan for legacy manifests."""
+    src_root = fmt.segments_dir(index_dir)
+    if man.segment_files is not None and not man.segment_files:
+        return spark.createDataFrame([], fmt.SEG_READ_SCHEMA)
+    if man.segment_files is not None:
+        return (
+            spark.read.schema(fmt.SEG_READ_SCHEMA)
+            .option("basePath", src_root)
+            .parquet(
+                *(os.path.join(src_root, p) for p in man.segment_files)
+            )
+        )
+    return spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(src_root)
+
+
+def merge_shards(
+    spark: SparkSession, index_dir: str, out_dir: str, factor: int = 2
+) -> None:
+    """Produce a new index at out_dir with n_shards /= factor."""
+    man = fmt.load_manifest(index_dir)
+    assert man is not None and man.complete
+    s_old, s_new = man.n_shards, man.n_shards // factor
+    assert s_new >= 1 and s_old % s_new == 0
+    avgdl = man.avgdl
+
+    merged = _merged_segments(spark, seg=_read_committed_segments(
+        spark, index_dir, man
+    ), avgdl=avgdl, n_buckets=man.n_buckets, s_new=s_new)
     merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
         fmt.segments_dir(out_dir)
     )
@@ -193,3 +212,109 @@ def merge_shards(
     )
     new_man.segment_files = fmt.list_segment_files(out_dir)
     fmt.save_manifest(out_dir, new_man)
+
+
+def compact_in_place(
+    spark: SparkSession,
+    index_dir: str,
+    factor: int = 1,
+    one_file_per_bucket: bool = True,
+) -> None:
+    """Compact an index IN PLACE under snapshot isolation: rewrite the
+    committed segment rows (merging the multi-row (term, shard) groups
+    incremental appends accumulate; factor>1 also merges shards like
+    merge_shards), land the new files NEXT TO the old ones, then flip
+    the manifest to list only the new file set. Readers holding the old
+    manifest keep answering from the old files (Iceberg snapshot
+    semantics — this is what manifest.segment_files buys); new readers
+    see only the compacted files. Old files stay on disk until
+    vacuum_segments() expires them — run it when no reader older than
+    the current snapshot remains.
+
+    Motivation is measured, not hypothetical: compacting the sf0.1
+    bench index 61 -> 8 files cut single-query p50 4.65 -> 2.75 ms
+    (BENCH.md round-5) — per-file open/decode is the dominant latency
+    term, and streaming appends strictly grow the file count.
+
+    Crash contract: the manifest save is the only commit point. A crash
+    before it leaves half-landed compact files that no manifest
+    references (invisible to every reader); a rerun replaces them
+    (same-generation files are cleaned first) and vacuum removes any
+    strays. one_file_per_bucket adds a second small shuffle of the
+    MERGED rows (already compressed — tiny next to the corpus) so each
+    bucket partition lands as a single part file."""
+    import shutil
+
+    man = fmt.load_manifest(index_dir)
+    assert man is not None and man.complete
+    s_old, s_new = man.n_shards, man.n_shards // factor
+    assert s_new >= 1 and s_old % s_new == 0
+
+    merged = _merged_segments(
+        spark,
+        seg=_read_committed_segments(spark, index_dir, man),
+        avgdl=man.avgdl,
+        n_buckets=man.n_buckets,
+        s_new=s_new,
+    )
+    if one_file_per_bucket:
+        merged = merged.repartition(man.n_buckets, F.col("term_bucket"))
+
+    seg_root = fmt.segments_dir(index_dir)
+    gen = sum(1 for k in man.stages if k.startswith("compact:"))
+    prefix = f"compact{gen}-"
+    tmp = seg_root.rstrip("/") + "._compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+    # clean a previous crashed attempt of the SAME generation, then move
+    # the new files in under generation-tagged names
+    for d, _dirs, files in os.walk(seg_root):
+        for f in files:
+            if f.startswith(prefix):
+                os.remove(os.path.join(d, f))
+    new_files: List[str] = []
+    for d, _dirs, files in os.walk(tmp):
+        rel = os.path.relpath(d, tmp)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            dst_dir = seg_root if rel == "." else os.path.join(seg_root, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            os.replace(
+                os.path.join(d, f), os.path.join(dst_dir, prefix + f)
+            )
+            new_files.append(
+                prefix + f if rel == "." else os.path.join(rel, prefix + f)
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
+    # COMMIT: the manifest flip makes the compacted set the snapshot
+    man.n_shards = s_new
+    man.segment_files = sorted(new_files)
+    man.stages[f"compact:{gen}"] = True
+    fmt.save_manifest(index_dir, man)
+
+
+def vacuum_segments(index_dir: str) -> int:
+    """Expire segment files the current manifest does not reference
+    (pre-compaction snapshots, crashed compaction attempts). Returns the
+    number of files removed. Safe once no live reader holds a manifest
+    older than the current one — the Iceberg expire-snapshots contract;
+    a reader opened before the vacuum on an OLD manifest would lose its
+    files, exactly like expiring a snapshot a scan still pins."""
+    man = fmt.load_manifest(index_dir)
+    assert man is not None and man.segment_files is not None, (
+        "vacuum needs a manifest with a committed file list"
+    )
+    listed = set(man.segment_files)
+    root = fmt.segments_dir(index_dir)
+    removed = 0
+    for d, _dirs, files in os.walk(root):
+        rel = os.path.relpath(d, root)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            relpath = f if rel == "." else os.path.join(rel, f)
+            if relpath not in listed:
+                os.remove(os.path.join(d, f))
+                removed += 1
+    return removed
