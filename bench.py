@@ -216,6 +216,30 @@ def main() -> None:
         )
         rlat.append(time.perf_counter() - t0)
     extra["bm25_repeat_p50_ms"] = round(statistics.median(rlat) * 1000, 2)
+    # in-place compaction (snapshot flip) + the same 10 queries cold
+    # against the compacted snapshot: quantifies the per-file latency
+    # floor (BENCH.md round-5: 61 -> ~n_buckets files) in this env
+    from text_search_spark.index.merge import compact_in_place
+
+    t0 = time.perf_counter()
+    compact_in_place(spark, index_dir)
+    extra["compact_s"] = round(time.perf_counter() - t0, 3)
+    creader = IndexReader(spark, index_dir)
+    clat = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        rows = bm25_topk_rows(
+            spark,
+            index_dir,
+            [QuerySpec(f"q{i}", [terms[i]], "or")],
+            k=10,
+            reader=creader,
+        )
+        assert rows, f"empty top-k post-compaction for q{i}"
+        clat.append(time.perf_counter() - t0)
+    extra["bm25_compacted_p50_ms"] = round(
+        statistics.median(clat) * 1000, 2
+    )
     # nearest-rank p95: ceil(0.95 n) - 1 (for n=10 that is the max;
     # the previous int(n*0.95)-1 picked the 9th of 10 = p90)
     extra["bm25_p95_ms"] = round(
