@@ -132,9 +132,14 @@ def test_compact_in_place_snapshot_lifecycle(spark, tmp_path):
     compact_in_place(spark, ix)
     assert bm25_topk_rows(spark, ix, specs, k=10) == before
 
-    # vacuum expires everything the current manifest doesn't list; the
-    # current snapshot still answers, and only listed files remain
-    removed = vacuum_segments(ix)
+    # vacuum with the default grace keeps everything here — the
+    # unreferenced files are seconds old, indistinguishable from a
+    # landing batch (the concurrent-writer guard)
+    assert vacuum_segments(ix) == 0
+    # grace 0 = caller asserts no writer is active: expires everything
+    # the current manifest doesn't list; the current snapshot still
+    # answers, and only listed files remain
+    removed = vacuum_segments(ix, grace_s=0)
     assert removed > 0
     man2 = fmt.load_manifest(ix)
     assert sorted(fmt.list_segment_files(ix)) == man2.segment_files

@@ -241,8 +241,17 @@ def compact_in_place(
     references (invisible to every reader); a rerun replaces them
     (same-generation files are cleaned first) and vacuum removes any
     strays. one_file_per_bucket adds a second small shuffle of the
-    MERGED rows (already compressed — tiny next to the corpus) so each
-    bucket partition lands as a single part file."""
+    MERGED rows (already compressed — tiny next to the corpus), re-
+    sorted on term_id so parquet row-group pruning survives, and each
+    bucket partition lands as a single part file.
+
+    Writer contract: ONE writer at a time (the standard Iceberg
+    optimistic-commit assumption, minus the retry loop). Running
+    compaction concurrently with a streaming append is a lost-update
+    race on the manifest — whichever commits last wins and the other's
+    file-list/n_shards update is clobbered. Pause the stream (or
+    schedule compaction between micro-batches) exactly as you would
+    around an Iceberg rewrite_data_files."""
     import shutil
 
     man = fmt.load_manifest(index_dir)
@@ -301,13 +310,22 @@ def compact_in_place(
     fmt.save_manifest(index_dir, man)
 
 
-def vacuum_segments(index_dir: str) -> int:
+def vacuum_segments(index_dir: str, grace_s: float = 3600.0) -> int:
     """Expire segment files the current manifest does not reference
-    (pre-compaction snapshots, crashed compaction attempts). Returns the
-    number of files removed. Safe once no live reader holds a manifest
-    older than the current one — the Iceberg expire-snapshots contract;
-    a reader opened before the vacuum on an OLD manifest would lose its
-    files, exactly like expiring a snapshot a scan still pins."""
+    (pre-compaction snapshots, crashed attempts). Returns the number of
+    files removed. Safe once no live reader holds a manifest older than
+    the current one — the Iceberg expire-snapshots contract; a reader
+    opened before the vacuum on an OLD manifest would lose its files,
+    exactly like expiring a snapshot a scan still pins.
+
+    grace_s: unreferenced files YOUNGER than this are kept (default
+    1 h). This is the guard against a concurrent writer: a streaming
+    append lands its part files BEFORE its manifest commit, so without
+    the grace a vacuum racing the append would delete a landing batch.
+    Pass 0 only when no writer can be active (same retention idea as
+    Iceberg's expire-older-than)."""
+    import time as _time
+
     man = fmt.load_manifest(index_dir)
     assert man is not None and man.segment_files is not None, (
         "vacuum needs a manifest with a committed file list"
@@ -315,13 +333,18 @@ def vacuum_segments(index_dir: str) -> int:
     listed = set(man.segment_files)
     root = fmt.segments_dir(index_dir)
     removed = 0
+    cutoff = _time.time() - grace_s
     for d, _dirs, files in os.walk(root):
         rel = os.path.relpath(d, root)
         for f in files:
             if not f.endswith(".parquet"):
                 continue
             relpath = f if rel == "." else os.path.join(rel, f)
-            if relpath not in listed:
-                os.remove(os.path.join(d, f))
-                removed += 1
+            if relpath in listed:
+                continue
+            p = os.path.join(d, f)
+            if os.path.getmtime(p) > cutoff:
+                continue  # young enough to be a landing batch — keep
+            os.remove(p)
+            removed += 1
     return removed
