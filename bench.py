@@ -194,8 +194,10 @@ def main() -> None:
             assert rows, f"empty top-k for q{i}"
             lat.append(time.perf_counter() - t0)
     timed("bm25_seq10", seq10)
+    # phase_sink accumulates seconds under *_s keys; re-suffix to _ms
+    # with the unit conversion so the triage table reads correctly
     extra["bm25_seq10_phases_ms"] = {
-        k_: round(v * 1000, 2)
+        (k_[:-2] + "_ms" if k_.endswith("_s") else k_): round(v * 1000, 2)
         for k_, v in phases.items()
         if isinstance(v, float)
     }

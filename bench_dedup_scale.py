@@ -87,10 +87,12 @@ def main() -> None:
     extra["lsh_pairs_n"] = timed("minhash_lsh", _minhash_lsh)
     # cap-trigger census (untimed, over the cached sigs; bucket-size
     # aggregation only — never a pair expansion, so it cannot go
-    # quadratic on a degenerate corpus)
-    n_capped, dropped_ub = dedup.lsh_capped_census(sigs)
+    # quadratic on a degenerate corpus). Round-6: oversized buckets are
+    # RECOVERED (chunk cliques + bridges, connectivity-lossless), so
+    # the residual is pairs bridged-not-directly-expanded, not dropped.
+    n_capped, residual_ub = dedup.lsh_capped_census(sigs)
     extra["lsh_capped_buckets"] = n_capped
-    extra["lsh_cap_dropped_pairs_ub"] = dropped_ub
+    extra["lsh_cap_bridged_residual_ub"] = residual_ub
     sigs.unpersist()
 
     extra["dedup_lines_rows"] = timed(

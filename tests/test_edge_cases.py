@@ -178,10 +178,11 @@ def test_pii_masking_semantics(spark):
 
 
 def test_lsh_capped_census_counts_degenerate_buckets(spark):
-    """lsh_capped_census reports what the skew cap drops, without ever
-    expanding pairs: 4 identical signatures collide in EVERY band, so
-    with max_bucket=2 each band's bucket (size 4 > 2) is capped and the
-    dropped-pairs upper bound is bands * C(4,2)."""
+    """lsh_capped_census reports the chunked-recovery residual without
+    ever expanding pairs: 4 identical signatures collide in EVERY band,
+    so with max_bucket=2 each band's bucket (size 4 > 2) is capped.
+    Per bucket: C(4,2)=6 total, recovery directly expands 2 chunk
+    cliques of C(2,2)=1 each + 1 bridge = 3 -> residual 3."""
     from text_search_spark.operators import dedup
 
     n_h = dedup.NUM_MINHASHES
@@ -190,10 +191,59 @@ def test_lsh_capped_census_counts_degenerate_buckets(spark):
     sigs = spark.createDataFrame(
         rows, "doc_id long, " + ", ".join(f"h{i} string" for i in range(n_h))
     )
-    n_capped, dropped_ub = dedup.lsh_capped_census(sigs, max_bucket=2)
+    n_capped, residual_ub = dedup.lsh_capped_census(sigs, max_bucket=2)
     bands = n_h // 2
     assert n_capped == bands
-    assert dropped_ub == bands * 6
-    # and the guard really drops them from the pair expansion
-    assert dedup.lsh_candidate_pairs(sigs, max_bucket=2).count() == 0
+    assert residual_ub == bands * 3
+    # round-5 drop behavior still available behind the flag
+    assert (
+        dedup.lsh_candidate_pairs(
+            sigs, max_bucket=2, recover_capped=False
+        ).count()
+        == 0
+    )
     assert dedup.lsh_candidate_pairs(sigs, max_bucket=None).count() == 6
+
+
+def test_lsh_capped_recovery_preserves_connectivity(spark):
+    """Round-6 recovery: an oversized bucket expands into bounded chunk
+    cliques + bridge edges that keep every member in ONE connected
+    component — no near-dup group is silently split by the skew cap —
+    while the direct pair count stays O(n * max_bucket), not O(n^2)."""
+    from text_search_spark.operators import dedup
+
+    n_h = dedup.NUM_MINHASHES
+    n = 10
+    rows = [tuple([i] + [7] * n_h) for i in range(n)]  # one giant bucket
+    rows.append(tuple([99] + list(range(100, 100 + n_h))))
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"h{i} string" for i in range(n_h))
+    )
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket=3).collect()
+    ]
+    assert pairs and all(a < b for a, b in pairs)
+    # bounded: full clique would be C(10,2)=45 distinct pairs; chunked
+    # recovery emits far fewer (4 chunks: 3+3+3+1 -> 3*3+0 cliques + 3
+    # bridges = 12 distinct at most, identical across bands here)
+    assert len(pairs) < 45
+    # union-find over the candidate edges: all 10 in one component
+    parent = list(range(100))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1
+    assert find(99) == 99  # the distinct doc stays out
+    # census residual matches C(n,2) minus the per-bucket direct count
+    n_capped, residual_ub = dedup.lsh_capped_census(sigs, max_bucket=3)
+    bands = n_h // 2
+    per_bucket_direct = 3 * 3 + 0 + (4 - 1)  # 3 full cliques + bridge edges
+    assert n_capped == bands
+    assert residual_ub == bands * (45 - per_bucket_direct)

@@ -35,8 +35,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
 from dataclasses import asdict, dataclass, field
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 
 # v3: int64 term_id shuffle/segments + vocab table
@@ -83,27 +85,265 @@ class IndexManifest:
     # directory scan. At 10^12-doc scale this list lives in Iceberg
     # manifest-list files rather than one JSON array; the commit
     # protocol (file set flips with the snapshot pointer) is identical.
+    # Paths always use '/' separators regardless of OS (normalized on
+    # write; converted to os-native only at open time) so a manifest
+    # written on one OS reads on another.
     segment_files: Optional[List[str]] = None
+    # Optimistic-commit snapshot protocol (round-6): every committed
+    # manifest state carries a monotonically increasing snapshot_id and
+    # is ALSO persisted as snapshots/v{sid}.json. commit_manifest()
+    # claims v{sid+1} with an atomic hardlink (fails if another writer
+    # claimed it first) and rebases+retries on conflict — so a
+    # compaction racing a streaming append can never clobber the
+    # other's file list (Iceberg optimistic CAS, index/merge.py).
+    # manifest.json is a pointer/cache: load_manifest always checks the
+    # snapshots dir for a newer claimed snapshot (covers a crash
+    # between claim and pointer update).
+    snapshot_id: int = 0
+    # When the file list outgrows SEGMENT_FILES_INLINE_MAX it is
+    # sharded into per-bucket JSON sidecars under filelists/<token>/
+    # (the Iceberg manifest-list shape): manifest.json stays O(1) in
+    # the file count, and a bucket-scoped reader can load just its
+    # bucket's list. segment_files_ref holds the index_dir-relative
+    # sidecar dir; segment_files is then null IN THE JSON but always
+    # populated in memory by load_manifest.
+    segment_files_ref: Optional[str] = None
+
+
+# file lists at most this long are inlined in manifest.json; longer
+# lists go to per-bucket sidecar files (tests lower this to exercise
+# the sharded path at small scale)
+SEGMENT_FILES_INLINE_MAX = 512
+
+_BUCKET_PREFIX_RE = re.compile(r"^term_bucket=(\d+)/")
 
 
 def manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest.json")
 
 
+def snapshots_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "snapshots")
+
+
+def filelists_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "filelists")
+
+
+def _snapshot_path(index_dir: str, sid: int) -> str:
+    return os.path.join(snapshots_dir(index_dir), f"v{sid:012d}.json")
+
+
+def latest_snapshot_id(index_dir: str) -> int:
+    """Highest claimed snapshot id on disk (0 = none)."""
+    d = snapshots_dir(index_dir)
+    best = 0
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            m = re.fullmatch(r"v(\d+)\.json", f)
+            if m:
+                best = max(best, int(m.group(1)))
+    return best
+
+
+def _manifest_from_dict(index_dir: str, d: dict) -> IndexManifest:
+    m = IndexManifest(**d)
+    if m.segment_files_ref is not None and m.segment_files is None:
+        # reconstitute the sharded file list from the per-bucket
+        # sidecars (missing dir = empty snapshot was externalized,
+        # which the writer never does — treat as corrupt loudly)
+        ref = os.path.join(index_dir, m.segment_files_ref)
+        files: List[str] = []
+        for f in sorted(os.listdir(ref)):
+            if f.endswith(".json"):
+                with open(os.path.join(ref, f)) as fh:
+                    files.extend(json.load(fh))
+        m.segment_files = sorted(files)
+    return m
+
+
 def load_manifest(index_dir: str) -> Optional[IndexManifest]:
+    """Current committed snapshot: manifest.json, unless the snapshots
+    dir holds a NEWER claimed snapshot (a committer crashed between
+    its claim — the real commit point — and the pointer update)."""
     p = manifest_path(index_dir)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return IndexManifest(**json.load(f))
+    m: Optional[IndexManifest] = None
+    if os.path.exists(p):
+        with open(p) as f:
+            m = _manifest_from_dict(index_dir, json.load(f))
+    latest = latest_snapshot_id(index_dir)
+    if latest > (m.snapshot_id if m is not None else 0):
+        with open(_snapshot_path(index_dir, latest)) as f:
+            m = _manifest_from_dict(index_dir, json.load(f))
+    return m
+
+
+def _externalize_file_list(index_dir: str, m: IndexManifest) -> dict:
+    """Serialize m for commit: if the file list is large, write it as
+    per-bucket sidecar JSONs and null it in the returned dict. The
+    sidecar dir is content-addressed by a fresh token, written fully
+    BEFORE the snapshot claim references it (orphans from a lost CAS
+    race are expired with their snapshots)."""
+    d = asdict(m)
+    files = m.segment_files
+    if files is None or len(files) <= SEGMENT_FILES_INLINE_MAX:
+        d["segment_files_ref"] = None
+        return d
+    token = uuid.uuid4().hex[:12]
+    ref = f"filelists/{token}"
+    ref_abs = os.path.join(index_dir, ref)
+    os.makedirs(ref_abs, exist_ok=True)
+    by_bucket: Dict[int, List[str]] = {}
+    for p in files:
+        mb = _BUCKET_PREFIX_RE.match(p)
+        by_bucket.setdefault(int(mb.group(1)) if mb else -1, []).append(p)
+    for b, plist in by_bucket.items():
+        tmp = os.path.join(ref_abs, f".tmp-bucket-{b:05d}.json")
+        with open(tmp, "w") as f:
+            json.dump(sorted(plist), f)
+        os.replace(tmp, os.path.join(ref_abs, f"bucket-{b:05d}.json"))
+    d["segment_files"] = None
+    d["segment_files_ref"] = ref
+    m.segment_files_ref = ref
+    return d
+
+
+def _write_pointer(index_dir: str, payload: dict, sid: int) -> None:
+    """Best-effort manifest.json pointer update: skip if the pointer is
+    already at a newer snapshot (a slower CAS winner must not regress
+    it; the benign remaining race is covered by load_manifest's
+    snapshots-dir scan)."""
+    p = manifest_path(index_dir)
+    try:
+        if os.path.exists(p):
+            with open(p) as f:
+                if json.load(f).get("snapshot_id", 0) >= sid:
+                    return
+    except (json.JSONDecodeError, OSError):
+        pass
+    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2)
+    os.replace(tmp, p)
 
 
 def save_manifest(index_dir: str, m: IndexManifest) -> None:
+    """Unconditional last-write-wins save — the SINGLE-writer path
+    (batch build stage checkpoints, test rewinds). Bumps snapshot_id
+    past every claimed snapshot so the saved state is what
+    load_manifest returns, but takes no claim: concurrent writers must
+    use commit_manifest."""
     os.makedirs(index_dir, exist_ok=True)
+    m.snapshot_id = (
+        max(m.snapshot_id, latest_snapshot_id(index_dir)) + 1
+    )
+    if m.segment_files is not None:
+        m.segment_files = [p.replace(os.sep, "/") for p in m.segment_files]
+    payload = _externalize_file_list(index_dir, m)
     tmp = manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(asdict(m), f, indent=2)
+        json.dump(payload, f, indent=2)
     os.replace(tmp, manifest_path(index_dir))  # atomic commit point
+
+
+class CommitConflict(RuntimeError):
+    """commit_manifest exhausted its CAS retries."""
+
+
+def commit_manifest(
+    index_dir: str,
+    mutate: Callable[[IndexManifest], Optional[bool]],
+    max_retries: int = 20,
+) -> IndexManifest:
+    """Optimistic-CAS manifest commit (Iceberg-style; closes the
+    single-writer caveat that round-5 compact_in_place documented).
+
+    mutate(man) is called on a FRESHLY loaded manifest (a new one if
+    none exists) and mutates it in place; return False to abort (the
+    state is already committed — e.g. an at-least-once redelivery of a
+    committed micro-batch). mutate MUST be written as a rebase: it may
+    run several times, each time against the then-latest snapshot.
+
+    Claim protocol: the new state is fully written to a tmp file, then
+    hardlinked onto snapshots/v{sid+1}.json — os.link is atomic and
+    fails with EEXIST if another writer claimed that sid first, in
+    which case we reload and re-run mutate (rebase) and retry. The
+    claim IS the commit point: a crash after it is already durable
+    (load_manifest prefers the newest claimed snapshot); the
+    manifest.json pointer update after it is best-effort."""
+    for _ in range(max_retries):
+        man = load_manifest(index_dir)
+        if man is None:
+            man = IndexManifest(format_version=FORMAT_VERSION)
+        if mutate(man) is False:
+            return man
+        sid = man.snapshot_id + 1
+        man.snapshot_id = sid
+        if man.segment_files is not None:
+            man.segment_files = [
+                p.replace(os.sep, "/") for p in man.segment_files
+            ]
+        os.makedirs(snapshots_dir(index_dir), exist_ok=True)
+        payload = _externalize_file_list(index_dir, man)
+        tmp = os.path.join(
+            snapshots_dir(index_dir), f".tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2)
+        try:
+            os.link(tmp, _snapshot_path(index_dir, sid))
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the race — rebase onto the winner and retry
+        os.remove(tmp)
+        _write_pointer(index_dir, payload, sid)
+        return man
+    raise CommitConflict(
+        f"gave up after {max_retries} CAS attempts at {index_dir}"
+    )
+
+
+def expire_snapshots(index_dir: str, retain_last: int = 2) -> int:
+    """Drop snapshot history older than the last `retain_last` claimed
+    snapshots, plus filelist sidecars no retained snapshot (or the
+    pointer) references. Bounds snapshots/ + filelists/ growth; run
+    with (or after) vacuum_segments. Returns files removed."""
+    assert retain_last >= 1
+    d = snapshots_dir(index_dir)
+    removed = 0
+    sids = []
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            mm = re.fullmatch(r"v(\d+)\.json", f)
+            if mm:
+                sids.append(int(mm.group(1)))
+    sids.sort()
+    keep_sids = set(sids[-retain_last:])
+    live_refs = set()
+    for sid in keep_sids:
+        with open(_snapshot_path(index_dir, sid)) as f:
+            ref = json.load(f).get("segment_files_ref")
+        if ref:
+            live_refs.add(ref)
+    p = manifest_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            ref = json.load(f).get("segment_files_ref")
+        if ref:
+            live_refs.add(ref)
+    for sid in sids:
+        if sid not in keep_sids:
+            os.remove(_snapshot_path(index_dir, sid))
+            removed += 1
+    fl = filelists_dir(index_dir)
+    if os.path.isdir(fl):
+        import shutil
+
+        for tok in os.listdir(fl):
+            if f"filelists/{tok}" not in live_refs:
+                shutil.rmtree(os.path.join(fl, tok), ignore_errors=True)
+                removed += 1
+    return removed
 
 
 # read-side schema of the segments table (data columns + the term_bucket
@@ -145,10 +385,32 @@ def list_segment_files(index_dir: str) -> List[str]:
             p.startswith(("_", ".")) for p in rel.split(os.sep)
         ):
             continue
+        rel = rel.replace(os.sep, "/")  # manifest paths are always '/'
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                out.append(f if rel == "." else os.path.join(rel, f))
+                out.append(f if rel == "." else f"{rel}/{f}")
     return sorted(out)
+
+
+def committed_files_legacy(index_dir: str, stages: Dict[str, bool]) -> List[str]:
+    """Directory-walk fallback for PRE-snapshot manifests
+    (segment_files=None): the segment part files a COMMITTED stage
+    owns — untagged files (the initial batch build), `batchN-` files
+    with `stream:N` committed, `compactN-` files with `compact:N`
+    committed. Orphans from a crashed never-committed batch or
+    compaction attempt are excluded instead of silently adopted."""
+
+    def _committed(p: str) -> bool:
+        base = os.path.basename(p)
+        mb = re.match(r"batch(\d+)-", base)
+        if mb:
+            return bool(stages.get(f"stream:{mb.group(1)}"))
+        mc = re.match(r"compact(\d+)-", base)
+        if mc:
+            return bool(stages.get(f"compact:{mc.group(1)}"))
+        return True
+
+    return [p for p in list_segment_files(index_dir) if _committed(p)]
 
 
 def segments_dir(index_dir: str) -> str:

@@ -157,7 +157,8 @@ def _read_committed_segments(spark: SparkSession, index_dir: str, man):
             spark.read.schema(fmt.SEG_READ_SCHEMA)
             .option("basePath", src_root)
             .parquet(
-                *(os.path.join(src_root, p) for p in man.segment_files)
+                *(os.path.join(src_root, p.replace("/", os.sep))
+                    for p in man.segment_files)
             )
         )
     return spark.read.schema(fmt.SEG_READ_SCHEMA).parquet(src_root)
@@ -236,22 +237,31 @@ def compact_in_place(
     (BENCH.md round-5) — per-file open/decode is the dominant latency
     term, and streaming appends strictly grow the file count.
 
-    Crash contract: the manifest save is the only commit point. A crash
-    before it leaves half-landed compact files that no manifest
+    Crash contract: the snapshot claim is the only commit point. A
+    crash before it leaves half-landed compact files that no manifest
     references (invisible to every reader); a rerun replaces them
-    (same-generation files are cleaned first) and vacuum removes any
-    strays. one_file_per_bucket adds a second small shuffle of the
-    MERGED rows (already compressed — tiny next to the corpus), re-
-    sorted on term_id so parquet row-group pruning survives, and each
-    bucket partition lands as a single part file.
+    (same-generation strays are cleaned FIRST — before any read of
+    seg_root, so a legacy directory-scan source can never absorb a
+    prior crashed attempt's output and double-count postings) and
+    vacuum removes any strays. one_file_per_bucket adds a second small
+    shuffle of the MERGED rows (already compressed — tiny next to the
+    corpus), sorted within partitions on (term_bucket, term_id, shard)
+    so the dynamic-partition writer's required partition-column
+    ordering is already satisfied — no writer-injected unstable re-sort
+    — and term_id clustering (parquet row-group pruning, the measured
+    8.4→2.8 ms win) survives even when several bucket values hash into
+    one partition.
 
-    Writer contract: ONE writer at a time (the standard Iceberg
-    optimistic-commit assumption, minus the retry loop). Running
-    compaction concurrently with a streaming append is a lost-update
-    race on the manifest — whichever commits last wins and the other's
-    file-list/n_shards update is clobbered. Pause the stream (or
-    schedule compaction between micro-batches) exactly as you would
-    around an Iceberg rewrite_data_files."""
+    Writer contract (round-6): commits go through the optimistic-CAS
+    protocol (format.commit_manifest), so compaction racing a
+    streaming APPEND is safe in either interleaving — if the append
+    commits first, compaction rebases: its compacted files REPLACE
+    exactly the snapshot it read, and every file committed since
+    (the append's batch) is retained. Appended docs carry their own
+    shard numbering and bm_avgdl, so mixed generations score exactly
+    (scoring groups by the shard column value; a doc's rows are always
+    written together under one layout). Concurrent COMPACTIONS remain
+    one-at-a-time (they'd claim the same generation tag)."""
     import shutil
 
     man = fmt.load_manifest(index_dir)
@@ -259,6 +269,29 @@ def compact_in_place(
     s_old, s_new = man.n_shards, man.n_shards // factor
     assert s_new >= 1 and s_old % s_new == 0
 
+    seg_root = fmt.segments_dir(index_dir)
+    gen = sum(1 for k in man.stages if k.startswith("compact:"))
+    prefix = f"compact{gen}-"
+    # clean a previous crashed attempt of the SAME generation BEFORE
+    # building the source DataFrame: for a legacy manifest the source
+    # is a directory scan, and stale same-generation strays would merge
+    # in twice (they are re-encodes of rows already in the source)
+    for d, _dirs, files in os.walk(seg_root):
+        for f in files:
+            if f.startswith(prefix):
+                os.remove(os.path.join(d, f))
+
+    # the exact snapshot being compacted — the rebase below replaces
+    # precisely this set in whatever manifest wins the CAS race. For a
+    # legacy manifest the set is the committed-stage walk (an
+    # uncommitted landing batch's files must not be absorbed), pinned
+    # onto the in-memory manifest so the read opens exactly these files
+    # rather than re-scanning the directory later.
+    if man.segment_files is None:
+        man.segment_files = fmt.committed_files_legacy(
+            index_dir, man.stages
+        )
+    base_files = man.segment_files
     merged = _merged_segments(
         spark,
         seg=_read_committed_segments(spark, index_dir, man),
@@ -267,84 +300,138 @@ def compact_in_place(
         s_new=s_new,
     )
     if one_file_per_bucket:
-        # restore term clustering after the repartition: parquet
-        # row-group stats on term_id are what make the per-query
-        # filtered read cheap — an unsorted bucket file forces a
-        # full-file scan per query (measured: compacted-but-unsorted
-        # p50 8.4 ms vs 2.8 ms sorted)
         merged = merged.repartition(
             man.n_buckets, F.col("term_bucket")
-        ).sortWithinPartitions("term_id", "shard")
+        ).sortWithinPartitions("term_bucket", "term_id", "shard")
 
-    seg_root = fmt.segments_dir(index_dir)
-    gen = sum(1 for k in man.stages if k.startswith("compact:"))
-    prefix = f"compact{gen}-"
     tmp = seg_root.rstrip("/") + "._compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
-    # clean a previous crashed attempt of the SAME generation, then move
-    # the new files in under generation-tagged names
-    for d, _dirs, files in os.walk(seg_root):
-        for f in files:
-            if f.startswith(prefix):
-                os.remove(os.path.join(d, f))
     new_files: List[str] = []
     for d, _dirs, files in os.walk(tmp):
-        rel = os.path.relpath(d, tmp)
+        rel = os.path.relpath(d, tmp).replace(os.sep, "/")
         for f in files:
             if not f.endswith(".parquet"):
                 continue
-            dst_dir = seg_root if rel == "." else os.path.join(seg_root, rel)
+            dst_dir = (
+                seg_root
+                if rel == "."
+                else os.path.join(seg_root, rel.replace("/", os.sep))
+            )
             os.makedirs(dst_dir, exist_ok=True)
             os.replace(
                 os.path.join(d, f), os.path.join(dst_dir, prefix + f)
             )
             new_files.append(
-                prefix + f if rel == "." else os.path.join(rel, prefix + f)
+                prefix + f if rel == "." else f"{rel}/{prefix + f}"
             )
     shutil.rmtree(tmp, ignore_errors=True)
-    # COMMIT: the manifest flip makes the compacted set the snapshot
-    man.n_shards = s_new
-    man.segment_files = sorted(new_files)
-    man.stages[f"compact:{gen}"] = True
-    fmt.save_manifest(index_dir, man)
+
+    # COMMIT via CAS: replace the compacted snapshot's files, keep any
+    # files committed since (a concurrent append's batch), flip shards
+    base_set = set(base_files)
+
+    def _commit(m2: "fmt.IndexManifest") -> None:
+        cur = (
+            m2.segment_files
+            if m2.segment_files is not None
+            else list(base_files)
+        )
+        m2.segment_files = sorted(
+            (set(cur) - base_set) | set(new_files)
+        )
+        m2.n_shards = s_new
+        m2.stages[f"compact:{gen}"] = True
+
+    fmt.commit_manifest(index_dir, _commit)
 
 
-def vacuum_segments(index_dir: str, grace_s: float = 3600.0) -> int:
-    """Expire segment files the current manifest does not reference
-    (pre-compaction snapshots, crashed attempts). Returns the number of
-    files removed. Safe once no live reader holds a manifest older than
-    the current one — the Iceberg expire-snapshots contract; a reader
-    opened before the vacuum on an OLD manifest would lose its files,
-    exactly like expiring a snapshot a scan still pins.
+def vacuum_segments(
+    index_dir: str,
+    grace_s: float = 3600.0,
+    retain_last: int = 1,
+) -> int:
+    """Expire segment files no retained snapshot references
+    (pre-compaction generations, crashed attempts). Returns the number
+    of files removed. Safe once no live reader holds a snapshot older
+    than the retained window — the Iceberg expire-snapshots contract.
 
-    grace_s: unreferenced files YOUNGER than this are kept (default
-    1 h). This is the guard against a concurrent writer: a streaming
-    append lands its part files BEFORE its manifest commit, so without
-    the grace a vacuum racing the append would delete a landing batch.
-    Pass 0 only when no writer can be active (same retention idea as
-    Iceberg's expire-older-than)."""
+    Retention is GENERATION-based (round-6; replaces the wall-clock
+    mtime rule as the primary guard — mtime is unreliable on object
+    stores and a >grace straggling write used to be deletable). A file
+    is kept if ANY of:
+
+    * it is referenced by one of the last `retain_last` claimed
+      snapshots (snapshot history lives in snapshots/, written by
+      every commit — format.commit_manifest / save_manifest);
+    * it is a `batchN-` file whose batch is UNCOMMITTED and not yet
+      superseded (no `stream:M` with M >= N committed): the batch is
+      potentially still landing — kept regardless of age, so a slow
+      writer can never lose files to a racing vacuum. Once its batch
+      commits (file becomes referenced) or aborts (a later batch
+      committed — Structured Streaming retries the same batch id until
+      success, so a smaller-id orphan can never retry), it expires;
+    * it is a `compactN-` file of the CURRENT (in-progress) compaction
+      generation — an active compactor's landing files;
+    * it is younger than grace_s (belt-and-braces for untagged
+      stragglers; pass 0 when relying on generation retention alone).
+
+    Run format.expire_snapshots alongside to bound the history dirs."""
+    import re as _re
     import time as _time
 
     man = fmt.load_manifest(index_dir)
     assert man is not None and man.segment_files is not None, (
         "vacuum needs a manifest with a committed file list"
     )
+    # union of the retained snapshots' file sets (history scan; the
+    # current manifest is always retained even if snapshots/ is empty)
     listed = set(man.segment_files)
+    snaps_dir = fmt.snapshots_dir(index_dir)
+    if retain_last > 0 and os.path.isdir(snaps_dir):
+        import json as _json
+
+        sids = sorted(
+            int(m.group(1))
+            for f in os.listdir(snaps_dir)
+            if (m := _re.fullmatch(r"v(\d+)\.json", f))
+        )
+        for sid in sids[-retain_last:]:
+            with open(os.path.join(snaps_dir, f"v{sid:012d}.json")) as fh:
+                d = _json.load(fh)
+            m2 = fmt._manifest_from_dict(index_dir, d)
+            listed.update(m2.segment_files or [])
+
+    committed_streams = sorted(
+        int(k.split(":")[1])
+        for k, v in man.stages.items()
+        if k.startswith("stream:") and v
+    )
+    max_stream = committed_streams[-1] if committed_streams else -1
+    cur_compact_gen = sum(
+        1 for k in man.stages if k.startswith("compact:")
+    )
+
     root = fmt.segments_dir(index_dir)
     removed = 0
     cutoff = _time.time() - grace_s
     for d, _dirs, files in os.walk(root):
-        rel = os.path.relpath(d, root)
+        rel = os.path.relpath(d, root).replace(os.sep, "/")
         for f in files:
             if not f.endswith(".parquet"):
                 continue
-            relpath = f if rel == "." else os.path.join(rel, f)
+            relpath = f if rel == "." else f"{rel}/{f}"
             if relpath in listed:
                 continue
+            mb = _re.match(r"batch(\d+)-", f)
+            if mb and int(mb.group(1)) > max_stream:
+                continue  # possibly still landing — generation guard
+            mc = _re.match(r"compact(\d+)-", f)
+            if mc and int(mc.group(1)) >= cur_compact_gen:
+                continue  # an active compactor's landing files
             p = os.path.join(d, f)
-            if os.path.getmtime(p) > cutoff:
-                continue  # young enough to be a landing batch — keep
+            if grace_s > 0 and os.path.getmtime(p) > cutoff:
+                continue  # young enough to be a landing write — keep
             os.remove(p)
             removed += 1
     return removed

@@ -164,7 +164,7 @@ class IndexReader:
                     self._segments_df = (
                         self.spark.read.schema(fmt.SEG_READ_SCHEMA)
                         .option("basePath", root)
-                        .parquet(*(os.path.join(root, p) for p in files))
+                        .parquet(*(os.path.join(root, p.replace("/", os.sep)) for p in files))
                     )
             else:
                 # legacy manifest (pre-snapshot): directory scan.
@@ -184,9 +184,11 @@ class IndexReader:
         if files is None:
             return None
         root = fmt.segments_dir(self.index_dir)
-        prefix = f"term_bucket={bucket}{os.sep}"
+        prefix = f"term_bucket={bucket}/"  # manifest paths are always '/'
         return [
-            os.path.join(root, p) for p in files if p.startswith(prefix)
+            os.path.join(root, p.replace("/", os.sep))
+            for p in files
+            if p.startswith(prefix)
         ]
 
     def term_stats(self) -> DataFrame:

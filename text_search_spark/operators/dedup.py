@@ -8,9 +8,11 @@ Scale notes (100 TB discipline):
   * exact_duplicates: one hash-agg shuffle on a 32-char key; AQE coalesces.
   * minhash_signatures: per-doc agg over exploded distinct terms — one
     shuffle; NUM_HASHES columns of min() (map-side partial agg applies).
-  * lsh_candidate_pairs: band -> bucket self-join; bucket sizes are the
-    classic LSH skew point — `max_bucket` caps pathological buckets
-    (dropped + reported, not silently exploded into n^2 pairs).
+  * lsh_candidate_pairs: band -> bucket grouping; bucket sizes are the
+    classic LSH skew point — `max_bucket` bounds pathological buckets
+    via chunked recovery (O(n*max_bucket) direct pairs + bridge edges
+    that keep the bucket one connected component; residual reported by
+    lsh_capped_census, never silently exploded into n^2 pairs).
   * simhash: 64 per-bit conditional sums in ONE agg pass (no explosion of
     the row count; bit columns are projected before the shuffle).
 """
@@ -99,16 +101,22 @@ def _band_buckets(
     rows_per_band: int,
     num_hashes: int,
 ) -> DataFrame:
-    """(id, band, bucket) — one row per signature per LSH band; shared
-    by the pair expansion and the skew-cap census."""
+    """(id, band, bucket, sec) — one row per signature per LSH band;
+    shared by the pair expansion and the skew-cap census. `sec` is a
+    secondary signature slot OUTSIDE the band (the next slot, mod
+    num_hashes): oversized-bucket recovery sorts members by it so that
+    docs likeliest to be near-dups of each other land in the same
+    bounded chunk (Catalyst prunes it wherever it's unused)."""
     bands = []
     for b in range(num_hashes // rows_per_band):
         cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        sec = f"h{((b + 1) * rows_per_band) % num_hashes}"
         bands.append(
             sigs.select(
                 F.col(id_col).alias("id"),
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+                F.col(sec).alias("sec"),
             )
         )
     all_bands = bands[0]
@@ -124,12 +132,24 @@ def lsh_capped_census(
     num_hashes: int = NUM_MINHASHES,
     max_bucket: int = 1000,
 ):
-    """(n_capped_buckets, dropped_pairs_upper_bound) — how many
-    (band, bucket) groups the max_bucket skew guard drops and the sum
-    of C(n,2) over them (an UPPER bound on dropped candidate pairs:
-    cross-band and distinct() dedup would shrink it). Never expands
-    pairs, so a degenerate corpus cannot go quadratic here — this is
-    the no-silent-caps report for dedup runs at scale."""
+    """(n_capped_buckets, residual_pairs_upper_bound) — how many
+    (band, bucket) groups exceed max_bucket, and the sum over them of
+    the pairs the chunked recovery does NOT directly expand:
+    C(n,2) - [full_chunks*C(mb,2) + C(rem,2) + (n_chunks-1)]. Those
+    residual pairs are still transitively CONNECTED through the bridge
+    edges (see lsh_candidate_pairs), so component-level dedup loses
+    nothing; this census quantifies what a pairwise-verification
+    consumer would not see directly. Never expands pairs, so a
+    degenerate corpus cannot go quadratic here — the no-silent-caps
+    report for dedup runs at scale."""
+    n, mb = F.col("n"), F.lit(max_bucket)
+    full, rem = F.floor(n / mb), n % mb
+    direct = (
+        full * (mb * (mb - 1) / 2)
+        + rem * (rem - 1) / 2
+        + F.ceil(n / mb)
+        - 1
+    )
     row = (
         _band_buckets(sigs, id_col, rows_per_band, num_hashes)
         .groupBy("band", "bucket")
@@ -138,12 +158,29 @@ def lsh_capped_census(
         .select(
             F.count("*").alias("n_capped"),
             F.coalesce(
-                F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)
-            ).cast("long").alias("dropped_ub"),
+                F.sum(n * (n - 1) / 2 - direct), F.lit(0)
+            ).cast("long").alias("residual_ub"),
         )
         .first()
     )
-    return int(row["n_capped"]), int(row["dropped_ub"])
+    return int(row["n_capped"]), int(row["residual_ub"])
+
+
+def _clique_pairs(arr):
+    """All (least, greatest) pairs of an array column, JVM-side (nested
+    transform — no self-join)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"),
+                    F.greatest(x, y).alias("id_b"),
+                ),
+            ),
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -152,40 +189,91 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     num_hashes: int = NUM_MINHASHES,
     max_bucket: Optional[int] = 1000,
+    recover_capped: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
-    Buckets larger than max_bucket are dropped (head-bucket skew guard —
-    a degenerate bucket of size m yields m^2/2 pairs; at web scale those
-    buckets are boilerplate and handled by exact_duplicates instead;
-    lsh_capped_census reports what the guard dropped).
-    """
+    max_bucket is the head-bucket skew guard: a degenerate bucket of
+    size m would otherwise yield m^2/2 pairs. Round-5 DROPPED oversized
+    buckets (missed near-dups concentrated in exactly the boilerplate a
+    dedup pass most needs); round-6 RECOVERS them with a bounded
+    expansion that preserves connectivity:
+
+      * members of an oversized bucket are sorted by a secondary
+        signature slot outside the band (docs with equal/close
+        secondary minhash are the likeliest true near-dups) and split
+        into chunks of <= max_bucket;
+      * each chunk expands as a full clique (the high-probability pairs
+        land here, adjacent under the secondary sort);
+      * one BRIDGE edge links the first chunk's head to every later
+        chunk's head, so the whole bucket stays one connected component
+        — for connected-component dedup the recovery is lossless, and
+        the expansion is O(n * max_bucket) instead of O(n^2).
+
+    lsh_capped_census reports the residual (pairs bridged rather than
+    directly expanded). recover_capped=False restores the round-5 drop
+    behavior; max_bucket=None disables the guard entirely.
+
+    Plan shape: ONE shuffle (group ids per (band, bucket)); clique +
+    chunk + bridge expansion are all array expressions on the grouped
+    row (whole-stage codegen), then distinct."""
     all_bands = _band_buckets(sigs, id_col, rows_per_band, num_hashes)
-    # ONE shuffle: group ids per (band, bucket), expand pairs JVM-side
-    # (nested transform — no self-join), then distinct. Bucket cap applies
-    # before the quadratic expansion.
-    grouped = all_bands.groupBy("band", "bucket").agg(
-        F.collect_list("id").alias("ids")
+    if max_bucket is None:
+        grouped = (
+            all_bands.groupBy("band", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .where(F.size("ids") >= 2)
+        )
+        return (
+            grouped.select(F.explode(_clique_pairs(F.col("ids"))).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+
+    grouped = (
+        all_bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("sec", "id"))
+            ).alias("members")
+        )
+        .where(F.size("members") >= 2)
     )
-    grouped = grouped.where(F.size("ids") >= 2)
-    if max_bucket is not None:
-        grouped = grouped.where(F.size("ids") <= max_bucket)
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
+    mem = F.col("members")
+    ids_all = F.transform(mem, lambda m: m["id"])
+    small = grouped.where(F.size(mem) <= max_bucket).select(
+        F.explode(_clique_pairs(ids_all)).alias("p")
+    )
+    if not recover_capped:
+        out = small
+    else:
+        big = grouped.where(F.size(mem) > max_bucket)
+        n_chunks = F.ceil(F.size(mem) / F.lit(max_bucket)).cast("int")
+        chunk_ids = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.transform(
+                F.slice(mem, c * max_bucket + 1, F.lit(max_bucket)),
+                lambda m: m["id"],
             ),
         )
-    )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+        chunk_pairs = F.flatten(
+            F.transform(chunk_ids, lambda ch: _clique_pairs(ch))
+        )
+        heads = F.transform(chunk_ids, lambda ch: F.element_at(ch, 1))
+        head0 = F.element_at(heads, 1)
+        bridges = F.transform(
+            F.slice(heads, 2, F.size(heads)),
+            lambda h: F.struct(
+                F.least(head0, h).alias("id_a"),
+                F.greatest(head0, h).alias("id_b"),
+            ),
+        )
+        out = small.unionByName(
+            big.select(
+                F.explode(F.concat(chunk_pairs, bridges)).alias("p")
+            )
+        )
+    return out.select("p.id_a", "p.id_b").distinct()
 
 
 def simhash(

@@ -146,6 +146,7 @@ def host_filter(
     min_docs: int = 2,
     min_avg_chars: float = 0.0,
     broadcast_verdict: bool = True,
+    broadcast_max_hosts: Optional[int] = 20_000_000,
 ) -> DataFrame:
     """Drop pages whose host fails the rollup thresholds (too few
     pages to judge, or average page too short — boilerplate mills).
@@ -165,6 +166,17 @@ def host_filter(
     pathological verdict, pass False: one hash join on host under AQE's
     runtime choice, still one rollup and zero driver round-trips.
 
+    broadcast_max_hosts guards the hint (round-6, ADVICE item 3: an
+    unconditional hint on a ~3 GB verdict would exhaust the broadcast/
+    driver memory limit and FAIL the job instead of degrading): the
+    verdict is persisted and counted — one extra driver-side COUNT (a
+    single long, never the host strings), and the rollup still runs
+    once because the join reuses the cached verdict — and the hint is
+    silently dropped above the threshold (plain hash join; AQE picks
+    the strategy). Pass None to skip the guard and hint untestedly
+    (the round-5 behavior — e.g. when the caller already knows the
+    cardinality).
+
     Null contract (matches latest_snapshot's pinned semantics): a NULL
     url yields a NULL host, which fails the inner-join equality — null-
     url pages are always dropped. Authority-less URLs (e.g. "mailto:",
@@ -174,6 +186,10 @@ def host_filter(
     good = stats.where(
         (F.col("n_docs") >= min_docs) & (F.col("avg_chars") >= min_avg_chars)
     ).select("host")
+    if broadcast_verdict and broadcast_max_hosts is not None:
+        good = good.persist()
+        if good.count() > broadcast_max_hosts:
+            broadcast_verdict = False
     if broadcast_verdict:
         good = F.broadcast(good)
     return df.join(

@@ -217,24 +217,13 @@ def _append_batch_inner(
         fmt.segments_dir(index_dir),
         batch_id,
     )
-    # snapshot bookkeeping: previous committed file set + exactly this
-    # batch's files. Orphans from an uncommitted earlier attempt are
-    # excluded by construction (prev comes from the committed manifest;
-    # new files carry THIS batch's tag, and _append_scoped replaced any
-    # partial same-batch attempt). Legacy pre-snapshot manifests
-    # (segment_files=None) initialize from a walk minus this batch's tag.
+    # this batch's landed segment files (batch-tagged; _append_scoped
+    # replaced any partial same-batch attempt)
     tag = f"batch{batch_id}-"
     all_files = fmt.list_segment_files(index_dir)
-    if man.segment_files is None:
-        prev_files = [
-            p for p in all_files if not os.path.basename(p).startswith(tag)
-        ]
-    else:
-        prev_files = man.segment_files
     new_files = [
         p for p in all_files if os.path.basename(p).startswith(tag)
     ]
-    man.segment_files = sorted(set(prev_files) | set(new_files))
     # metrics row, batch-scoped like the data files
     import datetime as _dt
 
@@ -259,14 +248,55 @@ def _append_batch_inner(
         fmt.metrics_dir(index_dir),
         batch_id,
     )
-    # manifest commit LAST (atomic rename) — queries flip to the new state
-    man.n_docs = n_docs
-    man.total_tokens = total_tokens
-    man.avgdl = batch_avgdl
-    man.stages[f"stream:{batch_id}"] = True
-    man.stages["term_stats"] = False  # stale until rebuild_term_stats
-    man.complete = True
-    fmt.save_manifest(index_dir, man)
+
+    # manifest commit LAST, via the optimistic-CAS protocol: the mutate
+    # below is a REBASE — it runs against the then-latest snapshot, so
+    # if a compaction committed while this batch was landing, prev is
+    # the compacted file set and this batch's files are added on top
+    # (the compaction read only the pre-batch committed snapshot, so
+    # nothing is lost or double-counted in either interleaving).
+    def _commit(m2: "fmt.IndexManifest") -> bool:
+        if m2.stages.get(f"stream:{batch_id}"):
+            return False  # redelivered after commit — no-op
+        if m2.n_buckets == 0 or (
+            m2.total_tokens == 0 and not m2.stages.get("layout_from_data")
+        ):
+            # first real commit (or provisional pre-token layout):
+            # persist the layout this batch's segment job actually used
+            m2.n_buckets, m2.n_shards = n_buckets, n_shards
+        if total_tokens > 0:
+            m2.stages["layout_from_data"] = True
+        if m2.segment_files is None:
+            # legacy pre-snapshot manifest: initialize the file set
+            # from a directory walk, keeping only files a COMMITTED
+            # stage owns. Orphans from an earlier crashed
+            # never-committed batch (e.g. a checkpoint reset reassigned
+            # batch ids) are excluded instead of silently committed
+            # (round-6 fix).
+            prev_files = [
+                p
+                for p in fmt.committed_files_legacy(index_dir, m2.stages)
+                if not os.path.basename(p).startswith(tag)
+            ]
+        else:
+            prev_files = m2.segment_files
+        m2.segment_files = sorted(set(prev_files) | set(new_files))
+        if not m2.complete and m2.n_docs == 0:
+            # brand-new index: stamp the current format. An EXISTING
+            # other-version manifest keeps its version so the reader's
+            # validation still rejects the mixed layout loudly.
+            m2.format_version = fmt.FORMAT_VERSION
+        if not m2.run_id:
+            m2.run_id = f"stream:{batch_id}"
+        m2.n_docs = n_docs
+        m2.total_tokens = total_tokens
+        m2.avgdl = batch_avgdl
+        m2.stages[f"stream:{batch_id}"] = True
+        m2.stages["term_stats"] = False  # stale until rebuild_term_stats
+        m2.complete = True
+        return True
+
+    fmt.commit_manifest(index_dir, _commit)
 
 
 def incremental_index(
@@ -296,7 +326,8 @@ def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
                 spark.read.schema(fmt.SEG_READ_SCHEMA)
                 .option("basePath", root)
                 .parquet(
-                    *(os.path.join(root, p) for p in man0.segment_files)
+                    *(os.path.join(root, p.replace("/", os.sep))
+                      for p in man0.segment_files)
                 )
             )
         else:
@@ -318,6 +349,7 @@ def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
         .partitionBy("term_bucket")
         .parquet(fmt.term_stats_dir(index_dir))
     )
-    man = fmt.load_manifest(index_dir)
-    man.stages["term_stats"] = True
-    fmt.save_manifest(index_dir, man)
+    def _mark(m2: "fmt.IndexManifest") -> None:
+        m2.stages["term_stats"] = True
+
+    fmt.commit_manifest(index_dir, _mark)
