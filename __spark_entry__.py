@@ -402,6 +402,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = ngram_jaccard
 
+    def dedup_resolve(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        pairs = dedup.ngram_jaccard_pairs(docs)
+        return dedup.dedup_resolve(docs, pairs)
+
+    q["dedup_resolve"] = dedup_resolve
+
     # ---- crawl-table (Common-Crawl-shaped) operators ----
     # The sf tables have no url/warc_ts columns, so both entries derive
     # a deterministic crawl shape from documents (11 hosts x 13 pages =
@@ -679,27 +686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q1"] = tpch_q1
-
-    def tpch_q3(spark, sf_dir):
-        li = _t(spark, sf_dir, "lineitem")
-        o = _t(spark, sf_dir, "orders")
-        c = _t(spark, sf_dir, "customer")
-        rev = (
-            F.col("l_extendedprice").cast("decimal(18,6)")
-            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
-        )
-        return (
-            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(
-                F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
-                F.col("o_custkey") == F.col("c_custkey"),
-            )
-            .groupBy("o_orderkey")
-            .agg(F.sum(rev).cast("double").alias("revenue"))
-            .select(F.col("o_orderkey").alias("orderkey"), "revenue")
-        )
-
-    q["tpch_q3"] = tpch_q3
 
     # ---- union / provenance-filter / running aggregates / argmax ----
     def corpus_union(spark, sf_dir):
@@ -1174,12 +1160,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats_profile", "langid_ngram", "repetition_stats",
         "top_bigram_matches", "pii_stats",
         "dedup_exact", "dedup_lines", "minhash_sigs", "lsh_pairs",
-        "simhash", "ngram_jaccard", "url_latest_snapshot", "host_stats",
+        "simhash", "ngram_jaccard", "dedup_resolve",
+        "url_latest_snapshot", "host_stats",
         "embedding_knn", "embedding_dups", "ann_lsh_topk", "ann_ivf_topk",
         "ann_ivf_kmeans",
         "multimodal_features", "corpus_union", "filtered_postings",
         "events_window", "events_tumbling_window", "argmax_doc",
-        "tpch_q1", "tpch_q3",
+        "tpch_q1",
     ]
     assert set(order) == set(q), (
         sorted(set(q) - set(order)), sorted(set(order) - set(q)))
@@ -1370,8 +1357,9 @@ agg AS (SELECT doc_id, {", ".join(sums)} FROM hs GROUP BY doc_id)
 SELECT doc_id, {bits_val} AS simhash FROM agg
 """
 
-    o["ngram_jaccard"] = f"""
-WITH {_TOKS},
+    # shared: 3-gram shingle Jaccard pairs (reused by ngram_jaccard and
+    # the connected-component oracles)
+    _jacc_ctes = f"""{_TOKS},
 sh3 AS (SELECT DISTINCT a.doc_id AS id,
         a.term || ' ' || b.term || ' ' || c.term AS sh
   FROM toks a
@@ -1382,11 +1370,43 @@ kept AS (SELECT sh3.id, sh3.sh FROM sh3 JOIN freq ON sh3.sh = freq.sh
          WHERE freq.f <= 1000),
 sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY 1),
 inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
-SELECT id_a, id_b,
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+jpairs AS (SELECT id_a, id_b,
   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-WHERE i / (sa.sz + sb.sz - i) >= 0.05
+WHERE i / (sa.sz + sb.sz - i) >= 0.05)"""
+
+    o["ngram_jaccard"] = f"""
+WITH {_jacc_ctes}
+SELECT id_a, id_b, jaccard FROM jpairs
+"""
+
+    # min-label propagation as a recursive CTE: reach(id, lbl) = lbl is
+    # reachable from id. Pruning lbl <= v is lossless for the final
+    # min() because a component's minimum is <= every member, so its
+    # propagation path is never cut; larger labels die early instead of
+    # exploding the reach set quadratically on dense near-dup cliques.
+    _comp_ctes = f"""{_jacc_ctes},
+edges AS (SELECT id_a AS u, id_b AS v FROM jpairs
+          UNION SELECT id_b, id_a FROM jpairs),
+reach(id, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+  WHERE r.lbl <= e.v),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)"""
+
+    o["dedup_resolve"] = f"""
+WITH RECURSIVE {_comp_ctes},
+labeled AS (SELECT d.doc_id,
+    coalesce(c.component, d.doc_id) AS component,
+    length(d.text) AS len
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+canon AS (SELECT component, doc_id AS canon_id FROM labeled
+  QUALIFY row_number() OVER (PARTITION BY component
+    ORDER BY len DESC, doc_id ASC) = 1)
+SELECT l.doc_id, l.component, (l.doc_id = canon.canon_id) AS is_canonical
+FROM labeled l JOIN canon ON canon.component = l.component
 """
 
     o["embedding_knn"] = """
@@ -2170,17 +2190,6 @@ UNION ALL
 SELECT s.user_id, s.last_eid AS event_id FROM step s
 JOIN mx ON mx.user_id = s.user_id AND s.rn = mx.n
 WHERE s.last_eid IS NOT NULL
-"""
-
-    o["tpch_q3"] = """
-SELECT o.o_orderkey AS orderkey,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-           * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE c.c_mktsegment = 'BUILDING'
-GROUP BY o.o_orderkey
 """
 
     return o

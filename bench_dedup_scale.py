@@ -93,6 +93,16 @@ def main() -> None:
     n_capped, residual_ub = dedup.lsh_capped_census(sigs)
     extra["lsh_capped_buckets"] = n_capped
     extra["lsh_cap_bridged_residual_ub"] = residual_ub
+
+    # pairs -> GROUPS: connected components over the LSH candidate
+    # edges (large-star/small-star), the step that turns candidate
+    # pairs into keep/drop decisions; timed over the cached sigs so it
+    # measures the graph contraction, not a signature recompute
+    def _components():
+        pairs = dedup.lsh_candidate_pairs(sigs)
+        return dedup.connected_components(pairs).count()
+
+    extra["cc_labeled_nodes"] = timed("lsh_components", _components)
     sigs.unpersist()
 
     extra["dedup_lines_rows"] = timed(

@@ -436,3 +436,158 @@ def dedup_lines(
             F.coalesce("text_fp", F.md5(F.lit(""))).alias("text_fp"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, component) for every node in `pairs`, where component is the
+    MINIMUM id reachable from the node — the missing last step of every
+    near-dup pipeline here (lsh_candidate_pairs / ngram_jaccard_pairs /
+    embedding_dups emit candidate EDGES; dedup needs the GROUPS).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    standard shared-nothing CC construction. Each round is two
+    combiner-friendly shuffles (a groupBy-min per endpoint and the
+    edge rewrite join); the edge set monotonically contracts toward
+    star graphs rooted at each component's minimum, converging in
+    O(log^2 n) rounds — ~5 rounds for near-dup graphs, whose
+    components are dense cliques plus short bridge chains, vs the
+    O(diameter) rounds naive label propagation needs on a path.
+
+    Scale notes: no collect_list of neighbor sets (a hub node's
+    neighborhood never materializes as one array — the min is a
+    streaming aggregate, so a 10^8-degree boilerplate hub costs one
+    combiner cell, not one task's memory); each iteration
+    localCheckpoints to truncate the lineage (iterative joins
+    otherwise stack a plan per round); convergence is detected from
+    the checkpoint's own count + order-independent edge-hash sum (one
+    extra cheap job per round, over data already materialized).
+
+    Works on any orderable id type (string doc_ids included). The
+    reference has no distributed analog — its corpora fit one process
+    (textsearch/ suffix arrays are in-memory); this is the 100 TB
+    path.
+    """
+    # normalize to undirected canonical edges (lo, hi), drop self-loops
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.where(a != b)
+        .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not edges.take(1):
+        return edges.select(
+            F.col("lo").alias("id"), F.col("hi").alias("component")
+        )
+
+    def _signature(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: an int64 hash sum would overflow (ANSI mode
+            # raises) after ~2^23 edges
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # for each node u, connect every LARGER neighbor to
+        # m = min(N(u) ∪ {u})
+        nbrs = e.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionByName(e.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("mv"), F.col("u"))
+        return (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(m.alias("lo"), F.col("v").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient each edge larger -> smaller; for each node u, connect
+        # u and all its smaller neighbors to their collective minimum
+        dirw = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        mins = dirw.groupBy("u").agg(F.min("v").alias("mv"))
+        rewired = dirw.join(mins, "u").select(
+            F.col("mv").alias("lo"), F.col("v").alias("hi")
+        )
+        selfed = mins.select(
+            F.col("mv").alias("lo"), F.col("u").alias("hi")
+        )
+        return (
+            rewired.unionByName(selfed)
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # converged edge set is a star per component: (root, member) with
+    # root == component minimum; roots label themselves
+    members = edges.select(
+        F.col("hi").alias("id"), F.col("lo").alias("component")
+    )
+    roots = edges.select(F.col("lo").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.unionByName(roots)
+
+
+def dedup_resolve(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve near-dup candidate edges into keep/drop decisions:
+    (doc_id, component, is_canonical) for EVERY input doc. Docs in no
+    pair form singleton components of themselves. The canonical doc of
+    a component is its longest text, ties broken by smallest id — the
+    usual "keep the most complete copy" rule for crawl snapshots.
+
+    Scale shape: component labels via connected_components (above);
+    canonical selection is ONE map-side-combined min(struct) per
+    component — never a window over component partitions, whose largest
+    component (boilerplate cluster: millions of docs) would serialize
+    into a single task."""
+    comp = connected_components(pairs)
+    labeled = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            F.length("_t").alias("_len"),
+        )
+    )
+    canon = labeled.groupBy("component").agg(
+        F.min(F.struct((-F.col("_len")).alias("neg"), F.col("doc_id"))).alias(
+            "_best"
+        )
+    )
+    return (
+        labeled.join(canon, "component")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("doc_id") == F.col("_best.doc_id")).alias("is_canonical"),
+        )
+    )
