@@ -231,19 +231,82 @@ def save_manifest(index_dir: str, m: IndexManifest) -> None:
     """Unconditional last-write-wins save — the SINGLE-writer path
     (batch build stage checkpoints, test rewinds). Bumps snapshot_id
     past every claimed snapshot so the saved state is what
-    load_manifest returns, but takes no claim: concurrent writers must
-    use commit_manifest."""
-    os.makedirs(index_dir, exist_ok=True)
-    m.snapshot_id = (
-        max(m.snapshot_id, latest_snapshot_id(index_dir)) + 1
-    )
+    load_manifest returns. The state is persisted to snapshots/ via the
+    same claim protocol as commit_manifest — every committed state is
+    part of time-travel history (load_snapshot / snapshot_history) —
+    but unlike commit_manifest it never rebases: losing a claim just
+    re-bumps the id and claims the next one (last-write-wins)."""
+    os.makedirs(snapshots_dir(index_dir), exist_ok=True)
     if m.segment_files is not None:
         m.segment_files = [p.replace(os.sep, "/") for p in m.segment_files]
-    payload = _externalize_file_list(index_dir, m)
-    tmp = manifest_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2)
-    os.replace(tmp, manifest_path(index_dir))  # atomic commit point
+    while True:
+        m.snapshot_id = (
+            max(m.snapshot_id, latest_snapshot_id(index_dir)) + 1
+        )
+        payload = _externalize_file_list(index_dir, m)
+        tmp = os.path.join(
+            snapshots_dir(index_dir), f".tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2)
+        try:
+            os.link(tmp, _snapshot_path(index_dir, m.snapshot_id))
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
+        break
+    _write_pointer(index_dir, payload, m.snapshot_id)
+
+
+def load_snapshot(
+    index_dir: str, snapshot_id: int
+) -> Optional[IndexManifest]:
+    """Time travel: load a specific claimed snapshot (None if it was
+    never claimed or has been expired by expire_snapshots). The
+    returned manifest describes the index AS OF that commit; its data
+    files remain readable until vacuum_segments expires them — the
+    Iceberg read-older-snapshot contract."""
+    p = _snapshot_path(index_dir, snapshot_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _manifest_from_dict(index_dir, json.load(f))
+
+
+def snapshot_history(index_dir: str) -> List[dict]:
+    """Newest-last summaries of every retained claimed snapshot:
+    {snapshot_id, n_docs, n_shards, n_files, stages}. The audit /
+    time-travel catalog surface (Iceberg's snapshots metadata table);
+    bounded by expire_snapshots."""
+    d = snapshots_dir(index_dir)
+    out: List[dict] = []
+    if not os.path.isdir(d):
+        return out
+    sids = sorted(
+        int(m.group(1))
+        for f in os.listdir(d)
+        if (m := re.fullmatch(r"v(\d+)\.json", f))
+    )
+    for sid in sids:
+        with open(_snapshot_path(index_dir, sid)) as f:
+            j = json.load(f)
+        files = j.get("segment_files")
+        out.append(
+            {
+                "snapshot_id": sid,
+                "n_docs": j.get("n_docs"),
+                "n_shards": j.get("n_shards"),
+                "n_files": (
+                    len(files)
+                    if files is not None
+                    else None  # sharded sidecar list — count on demand
+                ),
+                "complete": j.get("complete"),
+                "stages": sorted(j.get("stages") or {}),
+            }
+        )
+    return out
 
 
 class CommitConflict(RuntimeError):

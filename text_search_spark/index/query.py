@@ -76,9 +76,22 @@ class IndexReader:
     # per reader, on the DRIVER only (executor paths never cache).
     POSTINGS_CACHE_MAX = 8_000_000
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        snapshot_id: Optional[int] = None,
+    ):
+        """snapshot_id pins the reader to a historical claimed snapshot
+        (time travel — fmt.snapshot_history lists them): queries answer
+        against exactly that commit's file set, regardless of later
+        appends/compactions. A pinned reader's refresh() keeps the pin
+        (Iceberg as-of-snapshot scan semantics); its data files stay
+        readable until vacuum_segments/expire_snapshots retire the
+        snapshot, exactly like expiring a snapshot a scan still pins."""
         self.spark = spark
         self.index_dir = index_dir
+        self.snapshot_id = snapshot_id
         self.manifest = self._load_validated()
         self._df_cache: Dict[str, int] = {}
         self._segments_df: Optional[DataFrame] = None
@@ -118,7 +131,16 @@ class IndexReader:
         refresh() so a reader can never silently hold a None /
         incomplete / other-format manifest (e.g. the index dir was
         deleted for a rebuild while this reader was open)."""
-        m = fmt.load_manifest(self.index_dir)
+        if self.snapshot_id is not None:
+            m = fmt.load_snapshot(self.index_dir, self.snapshot_id)
+            if m is None:
+                raise ValueError(
+                    f"no snapshot v{self.snapshot_id} at "
+                    f"{self.index_dir} (never claimed, or expired by "
+                    "expire_snapshots)"
+                )
+        else:
+            m = fmt.load_manifest(self.index_dir)
         if m is None or not m.complete:
             raise ValueError(f"no complete index at {self.index_dir}")
         if m.format_version != fmt.FORMAT_VERSION:
