@@ -284,3 +284,70 @@ def test_concurrent_reader_snapshot_isolation(spark, tmp_path):
     assert not torn, f"{len(torn)} torn reads of {len(observed)}"
     # the race must actually have been exercised while the append ran
     assert observed, "no concurrent reads happened"
+
+
+def test_auto_compact_bounds_file_count_and_stays_identical(
+    spark, tmp_path
+):
+    """incremental_index(auto_compact_files=K): inline maintenance
+    keeps every bucket's committed file count <= K as the stream runs,
+    and the maintained index is rank- and score-identical to an
+    unmaintained stream of the same corpus."""
+    from collections import Counter
+
+    pages = generate_pages(240)
+    pdf = spark.createDataFrame(
+        [(p.url, p.text) for p in pages], "url string, text string"
+    )
+    corpus = prepare_corpus(pdf, url_col="url")
+    rows = corpus.collect()
+    src = tmp_path / "ac_src"
+    src.mkdir()
+    n_batches = 6
+    step = len(rows) // n_batches
+    for i in range(n_batches):
+        spark.createDataFrame(
+            rows[i * step : (i + 1) * step if i < n_batches - 1 else None],
+            "doc_id long, url string, text string",
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    def run(ix_name, **kw):
+        ix = str(tmp_path / ix_name)
+        q = incremental_index(
+            spark,
+            spark.readStream.schema("doc_id long, url string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*"),
+            ix,
+            str(tmp_path / (ix_name + "_ckpt")),
+            **kw,
+        )
+        q.awaitTermination(300)
+        return ix
+
+    plain = run("plain_ix")
+    maintained = run("maint_ix", auto_compact_files=2)
+
+    man = fmt.load_manifest(maintained)
+    per_bucket = Counter(p.split("/", 1)[0] for p in man.segment_files)
+    assert max(per_bucket.values()) <= 2, per_bucket
+    assert any(k.startswith("compact:") for k in man.stages)
+    # the unmaintained stream really accumulated more files per bucket
+    plain_pb = Counter(
+        p.split("/", 1)[0]
+        for p in fmt.load_manifest(plain).segment_files
+    )
+    assert max(plain_pb.values()) > 2
+
+    specs = [
+        QuerySpec(qq.query_id, qq.terms, qq.mode)
+        for qq in generate_queries()
+    ]
+
+    def result(ix):
+        out = bm25_topk_df(spark, ix, specs, k=10)
+        return sorted(
+            (r.query_id, r.rank, r.doc_id, r.score) for r in out.collect()
+        )
+
+    assert result(maintained) == result(plain)

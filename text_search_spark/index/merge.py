@@ -435,3 +435,34 @@ def vacuum_segments(
             os.remove(p)
             removed += 1
     return removed
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    max_files_per_bucket: int = 8,
+    factor: int = 1,
+) -> bool:
+    """Maintenance policy: compact iff some bucket's committed file
+    count exceeds max_files_per_bucket. Returns whether a compaction
+    ran. The check is manifest-only (no filesystem walk, no Spark job)
+    — O(committed file list) on the driver — so it is cheap enough to
+    run after every streaming micro-batch commit
+    (incremental_index(auto_compact_files=...)). Per-file open/decode
+    dominates single-query latency (BENCH.md: 61 files p50 4.65 ms vs
+    8 files 2.75 ms), and appends strictly grow the file count — this
+    is the knob that keeps a long-lived streamed index fast without an
+    external maintenance job. The Iceberg analog is a
+    rewrite_data_files trigger on min-input-files; the CAS commit
+    protocol makes it safe to run while appends continue."""
+    man = fmt.load_manifest(index_dir)
+    if man is None or not man.segment_files:
+        return False
+    per_bucket: dict = {}
+    for p in man.segment_files:
+        b = p.split("/", 1)[0]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    if max(per_bucket.values()) <= max_files_per_bucket:
+        return False
+    compact_in_place(spark, index_dir, factor=factor)
+    return True

@@ -305,11 +305,31 @@ def incremental_index(
     index_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    auto_compact_files: Optional[int] = None,
 ):
-    """Start the incremental indexing query. Returns the StreamingQuery."""
-    writer = stream_df.writeStream.foreachBatch(
-        lambda b, bid: _append_batch(spark, b, index_dir, bid)
-    ).option("checkpointLocation", checkpoint_dir)
+    """Start the incremental indexing query. Returns the StreamingQuery.
+
+    auto_compact_files: when set, after each batch commit the stream
+    runs merge.maybe_compact(max_files_per_bucket=auto_compact_files) —
+    inline maintenance that bounds the per-bucket file count (and so
+    query latency) for a long-lived stream. Runs AFTER the batch's
+    manifest commit, in the same foreachBatch slot, so it serializes
+    with appends; crash-safety is the compaction's own contract (the
+    snapshot claim is the commit point, a half-landed attempt is
+    invisible and cleaned by the rerun)."""
+
+    def _on_batch(b, bid):
+        _append_batch(spark, b, index_dir, bid)
+        if auto_compact_files is not None:
+            from ..index.merge import maybe_compact
+
+            maybe_compact(
+                spark, index_dir, max_files_per_bucket=auto_compact_files
+            )
+
+    writer = stream_df.writeStream.foreachBatch(_on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
