@@ -70,6 +70,34 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """A second cached index over the same corpus with a deterministic
+    tombstone set applied (doc_id % 5 == 2) — the delete-semantics
+    driver gate (index/delete.py)."""
+    d = _index_dir_for(sf_dir) + "_del"
+    man = ixfmt.load_manifest(d)
+    if (
+        man is None
+        or not man.complete
+        or man.format_version != ixfmt.FORMAT_VERSION
+        or not man.tombstone_files
+    ):
+        import shutil
+
+        from text_search_spark.index.delete import delete_docs
+
+        shutil.rmtree(d, ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents")
+        corpus = prepare_corpus(docs, doc_id_col="doc_id")
+        build_index(
+            spark, corpus, d, n_buckets=8, n_shards=4, bucket_groups=2
+        )
+        delete_docs(
+            spark, d, docs.where(F.col("doc_id") % 5 == 2).select("doc_id")
+        )
+    return d
+
+
 def _top_terms(spark: SparkSession, index_dir: str, k: int, min_len: int = 5):
     """Deterministic query-term derivation: top-k terms by (cf desc, term
     asc) among terms of length >= min_len. Same rule as the SQL oracles."""
@@ -334,9 +362,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_spilled"] = bm25_spilled
-    q["bm25_and2"] = _bm25_engine_query("and", 2)
-    q["bm25_or2"] = _bm25_engine_query("or", 2)
+
+    def bm25_bool(spark, sf_dir):
+        # 2-term AND + OR through the engine, method-tagged into one
+        # union entry (round-4 precedent: lsh_pairs/ann_ivf_topk) —
+        # frees one census slot for bm25_deleted while both variants
+        # stay fully hash-gated inside the union
+        a = _bm25_engine_query("and", 2)(spark, sf_dir).withColumn(
+            "variant", F.lit("and2")
+        )
+        o2 = _bm25_engine_query("or", 2)(spark, sf_dir).withColumn(
+            "variant", F.lit("or2")
+        )
+        return a.unionByName(o2)
+
+    q["bm25_bool"] = bm25_bool
     q["bm25_near2"] = _bm25_engine_query("near", 2)
+
+    def bm25_deleted(spark, sf_dir):
+        # tombstone-delete gate: docs with doc_id % 5 == 2 deleted from
+        # a dedicated index copy; results must exclude them while
+        # surviving docs keep FULL-corpus scores (Lucene deleted-docs
+        # semantics pre-purge — the oracle replicates exactly that:
+        # full-corpus stats, candidates filtered)
+        ix = _ensure_deleted_index(spark, sf_dir)
+        terms = _top_terms(spark, ix, 5)
+        specs = [QuerySpec(t, [t], "or") for t in terms]
+        out = bm25_topk_df(spark, ix, specs, k=10)
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score_r"),
+        )
+
+    q["bm25_deleted"] = bm25_deleted
 
     # ---- phrase/positional op (SURVEY §2.6 posting intersection) ----
     def top_bigram_matches(spark, sf_dir):
@@ -1150,7 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order = [
         "tokenize_explode", "term_stats", "postings",
         "bm25_single", "bm25_after_merge", "bm25_near_after_merge",
-        "bm25_incremental", "bm25_spilled", "bm25_and2", "bm25_or2",
+        "bm25_incremental", "bm25_spilled", "bm25_bool", "bm25_deleted",
         "bm25_near2",
         "transcript_ingest", "query_segments", "split_segments_demo",
         "subtitle_gate", "overlap_metric", "kernel_golden",
@@ -1231,20 +1291,45 @@ FROM ranked WHERE rank <= 10
         "(SELECT '{m}:' || string_agg(term, '+' ORDER BY r) "
         "FROM qterms WHERE r <= 2)"
     )
+    bool_parts = []
     for m, having in (("and", "HAVING count(*) = 2"), ("or", "")):
-        o[f"bm25_{m}2"] = f"""
+        bool_parts.append(f"""
+SELECT query_id, rank, doc_id, score_r, '{m}2' AS variant FROM (
+  WITH persum AS (
+    SELECT t.doc_id, sum({partial}) AS score, count(*) AS nterms
+    FROM {_two_terms} qt
+    JOIN tf t ON t.term = qt.term
+    JOIN dfs d ON d.term = qt.term
+    JOIN dl l ON l.doc_id = t.doc_id
+    GROUP BY t.doc_id {having}
+  ),
+  ranked AS (SELECT {_qid.format(m=m)} AS query_id, row_number() OVER
+    (ORDER BY score DESC, doc_id ASC) AS rank, doc_id,
+    round(score, 6) AS score_r FROM persum)
+  SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_r
+  FROM ranked WHERE rank <= 10
+)""")
+    o["bm25_bool"] = (
+        f"WITH {_BM25_CTES}\n"
+        + " UNION ALL ".join(bool_parts)
+    )
+
+    # delete gate: FULL-corpus statistics (df/dl from every doc — the
+    # engine's pre-purge Lucene semantics), candidate docs filtered by
+    # the tombstone predicate before ranking
+    o["bm25_deleted"] = f"""
 WITH {_BM25_CTES},
-persum AS (
-  SELECT t.doc_id, sum({partial}) AS score, count(*) AS nterms
-  FROM {_two_terms} qt
+scored AS (
+  SELECT qt.term AS query_id, t.doc_id, {partial} AS score
+  FROM (SELECT term FROM qterms WHERE r <= 5) qt
   JOIN tf t ON t.term = qt.term
   JOIN dfs d ON d.term = qt.term
   JOIN dl l ON l.doc_id = t.doc_id
-  GROUP BY t.doc_id {having}
+  WHERE t.doc_id % 5 != 2
 ),
-ranked AS (SELECT {_qid.format(m=m)} AS query_id, row_number() OVER
-  (ORDER BY score DESC, doc_id ASC) AS rank, doc_id,
-  round(score, 6) AS score_r FROM persum)
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+  ORDER BY score DESC, doc_id ASC) AS rank, doc_id, round(score, 6)
+  AS score_r FROM scored)
 SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_r
 FROM ranked WHERE rank <= 10
 """

@@ -1,0 +1,237 @@
+"""Document deletes: tombstone exclusion on every query path, Lucene
+stats semantics pre-purge, and the compaction purge's fresh-build
+identity (delete.py's stated contract)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_search_spark.corpus import generate_pages, generate_queries
+from text_search_spark.index import format as fmt
+from text_search_spark.index.build import build_index, prepare_corpus
+from text_search_spark.index.delete import delete_docs, load_tombstones
+from text_search_spark.index.merge import compact_in_place
+from text_search_spark.index.query import (
+    IndexReader,
+    QuerySpec,
+    bm25_topk_df,
+    bm25_topk_rows,
+)
+
+N_DOCS = 240
+
+
+@pytest.fixture(scope="module")
+def corpus_ix(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("del")
+    pages = generate_pages(N_DOCS)
+    pdf = spark.createDataFrame(
+        [(p.url, p.text) for p in pages], "url string, text string"
+    )
+    corpus = prepare_corpus(pdf, url_col="url")
+    ix = str(base / "full_ix")
+    build_index(spark, corpus, ix, n_buckets=4, n_shards=2, bucket_groups=1)
+    return corpus, ix, str(base)
+
+
+def _specs():
+    return [
+        QuerySpec(q.query_id, q.terms, q.mode) for q in generate_queries()
+    ]
+
+
+def _df_results(spark, ix, specs, reader=None):
+    out = bm25_topk_df(spark, ix, specs, k=10, reader=reader)
+    return sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in out.collect()
+    )
+
+
+def _victims(corpus):
+    rows = corpus.select("doc_id").collect()
+    ids = sorted(r.doc_id for r in rows)
+    return ids[:: 4]  # every 4th doc
+
+
+def test_delete_excludes_everywhere_and_purge_matches_fresh_build(
+    spark, corpus_ix
+):
+    corpus, full_ix, base = corpus_ix
+    import shutil
+
+    ix = os.path.join(base, "ix_a")
+    shutil.copytree(full_ix, ix)
+
+    victims = _victims(corpus)
+    vset = set(victims)
+    n = delete_docs(spark, ix, victims)
+    assert n == len(victims)
+
+    specs = _specs()
+    reader = IndexReader(spark, ix)
+    assert reader.tombstones().size == len(victims)
+
+    # --- full-corpus baseline (the untouched original index) ---
+    base_res = _df_results(spark, full_ix, specs)
+    live_expected = [r for r in base_res if r[2] not in vset]
+
+    # executor shard-scorer path (AND/OR/phrase/near all flow here):
+    # deleted docs vanish, surviving docs keep their EXACT full-corpus
+    # scores (Lucene deleted-docs semantics pre-purge) — though ranks
+    # re-number, so compare per-query ordered (doc, score) suffixes
+    got = _df_results(spark, ix, specs, reader=reader)
+    assert not any(r[2] in vset for r in got)
+
+    def by_query(rows):
+        d = {}
+        for qid, _rank, doc, score in rows:
+            d.setdefault(qid, []).append((doc, score))
+        return d
+
+    got_q = by_query(got)
+    exp_q = by_query(live_expected)
+    for qid, exp_rows in exp_q.items():
+        # the live survivors of the full top-10 must lead the new
+        # top-10 in the same order with the same scores
+        k = len(exp_rows)
+        assert got_q.get(qid, [])[:k] == exp_rows, qid
+
+    # driver sidecar single-term path
+    single = [
+        QuerySpec(q.query_id, q.terms, q.mode)
+        for q in generate_queries()
+        if len(set(q.terms)) == 1 and q.mode in ("or", "and")
+    ]
+    rows = bm25_topk_rows(spark, ix, single, k=10, reader=reader)
+    assert rows and not any(r[2] in vset for r in rows)
+
+    # scan-stage executor path (force by dropping the driver cap)
+    import text_search_spark.index.query as qmod
+
+    old_cap = qmod.DRIVER_SCORE_MAX_POSTINGS
+    qmod.DRIVER_SCORE_MAX_POSTINGS = -1
+    try:
+        rows2 = bm25_topk_rows(
+            spark, ix, single, k=10, reader=IndexReader(spark, ix)
+        )
+    finally:
+        qmod.DRIVER_SCORE_MAX_POSTINGS = old_cap
+    assert rows2 == rows
+
+    # doc_stats surface excludes tombstoned docs too
+    assert reader.doc_stats().where(
+        F.col("doc_id").isin([int(v) for v in victims[:20]])
+    ).count() == 0
+
+    # time travel: a reader pinned BEFORE the delete still sees victims
+    hist = fmt.snapshot_history(ix)
+    pre_delete_sid = [
+        h["snapshot_id"] for h in hist
+    ][-2]  # the delete commit is the newest
+    pinned = IndexReader(spark, ix, snapshot_id=pre_delete_sid)
+    pinned_rows = _df_results(spark, ix, specs, reader=pinned)
+    assert pinned_rows == base_res
+
+    # --- purge: compaction drops the postings physically ---
+    compact_in_place(spark, ix)
+    man = fmt.load_manifest(ix)
+    assert man.tombstone_files is None
+    assert man.n_docs == N_DOCS - len(victims)
+
+    # fresh build of the surviving corpus at the compacted geometry
+    live_corpus = corpus.where(~F.col("doc_id").isin(
+        [int(v) for v in victims]
+    ))
+    fresh_ix = os.path.join(base, "fresh_ix")
+    build_index(
+        spark, live_corpus, fresh_ix,
+        n_buckets=man.n_buckets, n_shards=man.n_shards, bucket_groups=1,
+    )
+    fman = fmt.load_manifest(fresh_ix)
+    assert (fman.n_docs, fman.total_tokens) == (
+        man.n_docs, man.total_tokens
+    )
+    assert abs(fman.avgdl - man.avgdl) < 1e-9
+    # rank AND score identity
+    assert _df_results(spark, ix, specs) == _df_results(
+        spark, fresh_ix, specs
+    )
+
+
+def test_delete_is_idempotent_and_absent_ids_inert(spark, corpus_ix):
+    corpus, full_ix, base = corpus_ix
+    import shutil
+
+    ix = os.path.join(base, "ix_b")
+    shutil.copytree(full_ix, ix)
+    some = _victims(corpus)[:5]
+    delete_docs(spark, ix, some)
+    delete_docs(spark, ix, some)  # same ids again
+    delete_docs(spark, ix, [10**15, 10**15 + 1])  # absent ids
+    man = fmt.load_manifest(ix)
+    assert len(man.tombstone_files) == 3
+    t = load_tombstones(ix, man)
+    assert len(set(some)) + 2 == t.size  # union, deduped
+    # empty delete is a no-op (no tombstone file, no commit)
+    sid = fmt.load_manifest(ix).snapshot_id
+    assert delete_docs(spark, ix, []) == 0
+    assert fmt.load_manifest(ix).snapshot_id == sid
+
+
+def test_delete_dataframe_input_and_refresh_visibility(spark, corpus_ix):
+    corpus, full_ix, base = corpus_ix
+    import shutil
+
+    ix = os.path.join(base, "ix_c")
+    shutil.copytree(full_ix, ix)
+    reader = IndexReader(spark, ix)
+    specs = _specs()
+    before = _df_results(spark, ix, specs, reader=reader)
+
+    vict_df = corpus.select("doc_id").limit(30)
+    vset = {r.doc_id for r in vict_df.collect()}
+    delete_docs(spark, ix, vict_df)
+
+    # an un-refreshed reader keeps answering from its snapshot
+    assert _df_results(spark, ix, specs, reader=reader) == before
+    reader.refresh()
+    got = _df_results(spark, ix, specs, reader=reader)
+    assert not any(r[2] in vset for r in got)
+
+
+def test_purge_crash_recovery_doc_stats_swap(spark, corpus_ix):
+    """A crash between the two doc_stats renames leaves only the _old
+    dir; the next compaction restores it and completes the purge with
+    the persisted stats delta (no zero- or double-count)."""
+    corpus, full_ix, base = corpus_ix
+    import shutil
+
+    ix = os.path.join(base, "ix_d")
+    shutil.copytree(full_ix, ix)
+    victims = _victims(corpus)[:10]
+    delete_docs(spark, ix, victims)
+
+    ds_dir = fmt.doc_stats_dir(ix)
+    # simulate the crash window: delta persisted, doc_stats renamed
+    # away, new dir never landed
+    import json
+
+    with open(ds_dir + "._purge_delta-0.json", "w") as fh:
+        json.dump({"n_purged": 0, "purged_tokens": 0}, fh)
+    os.rename(ds_dir, ds_dir + "._old")
+
+    compact_in_place(spark, ix)
+    man = fmt.load_manifest(ix)
+    assert man.tombstone_files is None
+    assert os.path.isdir(ds_dir) and not os.path.isdir(ds_dir + "._old")
+    # the injected zero delta was generation-0's own file, so it is
+    # honored (idempotence contract: a rerun must not re-subtract);
+    # stats therefore remain the committed ones
+    assert man.n_docs == N_DOCS
+    assert not os.path.exists(ds_dir + "._purge_delta-0.json")
+    # victims stay excluded from queries (postings purged) even though
+    # the injected delta skipped the stats adjustment
+    got = _df_results(spark, ix, _specs())
+    assert not any(r[2] in set(victims) for r in got)

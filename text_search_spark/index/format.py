@@ -108,6 +108,15 @@ class IndexManifest:
     # sidecar dir; segment_files is then null IN THE JSON but always
     # populated in memory by load_manifest.
     segment_files_ref: Optional[str] = None
+    # Document deletes (Lucene/Iceberg tombstone shape): index_dir-
+    # relative parquet files (column: doc_id long), '/'-normalized.
+    # Readers exclude the union of these doc_ids from every result
+    # immediately; corpus statistics (df/cf/n_docs/avgdl — hence
+    # surviving docs' scores) keep the full-corpus values until
+    # compact_in_place purges the postings physically and clears this
+    # list (exactly Lucene's deleted-docs contract; block-max bounds
+    # stay valid upper bounds in between). None == [] == no deletes.
+    tombstone_files: Optional[List[str]] = None
 
 
 # file lists at most this long are inlined in manifest.json; longer
@@ -239,6 +248,10 @@ def save_manifest(index_dir: str, m: IndexManifest) -> None:
     os.makedirs(snapshots_dir(index_dir), exist_ok=True)
     if m.segment_files is not None:
         m.segment_files = [p.replace(os.sep, "/") for p in m.segment_files]
+    if m.tombstone_files is not None:
+        m.tombstone_files = [
+            p.replace(os.sep, "/") for p in m.tombstone_files
+        ]
     while True:
         m.snapshot_id = (
             max(m.snapshot_id, latest_snapshot_id(index_dir)) + 1
@@ -345,6 +358,10 @@ def commit_manifest(
         if man.segment_files is not None:
             man.segment_files = [
                 p.replace(os.sep, "/") for p in man.segment_files
+            ]
+        if man.tombstone_files is not None:
+            man.tombstone_files = [
+                p.replace(os.sep, "/") for p in man.tombstone_files
             ]
         os.makedirs(snapshots_dir(index_dir), exist_ok=True)
         payload = _externalize_file_list(index_dir, man)
@@ -486,6 +503,10 @@ def doc_stats_dir(index_dir: str) -> str:
 
 def term_stats_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "term_stats")
+
+
+def tombstones_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
 
 
 def metrics_dir(index_dir: str) -> str:

@@ -35,18 +35,45 @@ from ..codec import (
 from . import format as fmt
 
 
-def _merge_rows(rows: List[tuple], avgdl: float) -> tuple:
+def _live_rows(d, t, l, p, tombs):
+    """Drop tombstoned docs from one decoded segment row (docs, tfs,
+    dls, flat positions) — the physical purge step of delete.py's
+    contract. None tombs = identity."""
+    if tombs is None or tombs.size == 0 or d.size == 0:
+        return d, t, l, p
+    idx = np.searchsorted(tombs, d)
+    idx_c = np.minimum(idx, tombs.size - 1)
+    keep = ~((idx < tombs.size) & (tombs[idx_c] == d))
+    if keep.all():
+        return d, t, l, p
+    kidx = np.flatnonzero(keep)
+    starts = np.concatenate([[0], np.cumsum(t)])[:-1].astype(np.int64)
+    lens = t[kidx]
+    out_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    take = (
+        np.arange(int(lens.sum()), dtype=np.int64)
+        - np.repeat(out_starts, lens)
+        + np.repeat(starts[kidx], lens)
+    )
+    return d[kidx], t[kidx], l[kidx], p[take]
+
+
+def _merge_rows(rows: List[tuple], avgdl: float, tombs=None) -> tuple:
     """Merge f segment rows of one (term, new_shard): returns the new
-    (df_part, cf_part, postings, positions, blockmax)."""
+    (df_part, cf_part, postings, positions, blockmax), or None when the
+    tombstone purge leaves the group empty."""
     docs_l, tfs_l, dls_l, pos_l = [], [], [], []
     for postings, positions in rows:
         d, t, l = decode_block_postings(bytes(postings))
         p = decode_positions(bytes(positions), t)
+        d, t, l, p = _live_rows(d, t, l, p, tombs)
         docs_l.append(d)
         tfs_l.append(t)
         dls_l.append(l)
         pos_l.append(p)
     d = np.concatenate(docs_l)
+    if d.size == 0:
+        return None
     t = np.concatenate(tfs_l)
     l = np.concatenate(dls_l)
     order = np.argsort(d, kind="stable")  # inputs doc-disjoint
@@ -77,7 +104,7 @@ def _merge_rows(rows: List[tuple], avgdl: float) -> tuple:
     )
 
 
-def _splice_fn(avgdl: float):
+def _splice_fn(avgdl: float, tombs=None):
     """mapInPandas fn merging consecutive rows of one (term, new_shard)
     group (partition is sorted on term_id, new_shard); emits completed
     groups incrementally so peak memory is bounded by _OUT_ROWS merged
@@ -98,9 +125,10 @@ def _splice_fn(avgdl: float):
         def flush():
             if cur_key is None:
                 return
-            dfp, cfp, postings, positions, blockmax = _merge_rows(
-                cur_rows, avgdl
-            )
+            merged = _merge_rows(cur_rows, avgdl, tombs)
+            if merged is None:
+                return  # every doc of this group was tombstoned
+            dfp, cfp, postings, positions, blockmax = merged
             out.append(
                 cur_meta + (dfp, cfp, postings, positions, blockmax, avgdl)
             )
@@ -128,9 +156,10 @@ def _splice_fn(avgdl: float):
     return splice
 
 
-def _merged_segments(spark, seg, avgdl, n_buckets, s_new):
+def _merged_segments(spark, seg, avgdl, n_buckets, s_new, tombs=None):
     """The merge plan: shuffle segment rows on (term_bucket, new_shard),
-    sort within partitions, splice consecutive same-key rows."""
+    sort within partitions, splice consecutive same-key rows. tombs
+    (sorted np.int64) purges those docs during the re-encode."""
     seg = seg.withColumn("new_shard", (F.col("shard") % s_new).cast("int"))
     schema = "term_bucket int, " + fmt.SEGMENT_SCHEMA
     return (
@@ -140,7 +169,7 @@ def _merged_segments(spark, seg, avgdl, n_buckets, s_new):
             "new_shard",
         )
         .sortWithinPartitions("term_id", "new_shard", "shard")
-        .mapInPandas(_splice_fn(avgdl), schema=schema)
+        .mapInPandas(_splice_fn(avgdl, tombs), schema=schema)
     )
 
 
@@ -292,12 +321,79 @@ def compact_in_place(
             index_dir, man.stages
         )
     base_files = man.segment_files
+
+    # ---- tombstone purge bookkeeping (delete.py contract) ----
+    # The stats delta (docs/tokens leaving the corpus) is computed from
+    # doc_stats BEFORE the doc_stats swap and persisted as a
+    # generation-tagged delta file, so a crash anywhere in the
+    # purge-swap-commit sequence is recoverable without double- or
+    # zero-counting: the rerun reads the delta instead of recomputing
+    # against already-purged doc_stats. A stale other-generation delta
+    # (post-commit crash) is removed here.
+    from .delete import load_tombstones
+
+    tomb_files_consumed = list(man.tombstone_files or [])
+    tombs = load_tombstones(index_dir, man) if tomb_files_consumed else None
+    if tombs is not None and tombs.size == 0:
+        tombs = None
+    ds_dir = fmt.doc_stats_dir(index_dir)
+    delta_path = ds_dir + f"._purge_delta-{gen}.json"
+    import glob as _glob
+    import json as _json
+
+    for stale in _glob.glob(ds_dir + "._purge_delta-*.json"):
+        if stale != delta_path:
+            os.remove(stale)
+    # crash recovery for the doc_stats swap (see _swap below): restore
+    # a half-swapped doc_stats before anything reads it
+    ds_old = ds_dir + "._old"
+    if not os.path.isdir(ds_dir) and os.path.isdir(ds_old):
+        os.rename(ds_old, ds_dir)
+
+    n_purged, purged_tokens = 0, 0
+    if tombs is not None:
+        if os.path.exists(delta_path):
+            with open(delta_path) as fh:
+                dj = _json.load(fh)
+            n_purged, purged_tokens = dj["n_purged"], dj["purged_tokens"]
+        else:
+            tomb_df = spark.read.parquet(
+                *(
+                    os.path.join(index_dir, rel.replace("/", os.sep))
+                    for rel in tomb_files_consumed
+                )
+            ).select("doc_id").distinct()
+            row = (
+                spark.read.parquet(ds_dir)
+                .join(F.broadcast(tomb_df), "doc_id", "leftsemi")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tok"),
+                )
+                .first()
+            )
+            n_purged, purged_tokens = int(row["n"]), int(row["tok"])
+            tmp_delta = delta_path + ".tmp"
+            with open(tmp_delta, "w") as fh:
+                _json.dump(
+                    {"n_purged": n_purged, "purged_tokens": purged_tokens},
+                    fh,
+                )
+            os.replace(tmp_delta, delta_path)
+    live_docs = max(1, man.n_docs - n_purged)
+    new_avgdl = (
+        (man.total_tokens - purged_tokens) / live_docs
+        if tombs is not None
+        else man.avgdl
+    )
+
     merged = _merged_segments(
         spark,
         seg=_read_committed_segments(spark, index_dir, man),
-        avgdl=man.avgdl,
+        avgdl=new_avgdl,
         n_buckets=man.n_buckets,
         s_new=s_new,
+        tombs=tombs,
     )
     if one_file_per_bucket:
         merged = merged.repartition(
@@ -327,9 +423,39 @@ def compact_in_place(
             )
     shutil.rmtree(tmp, ignore_errors=True)
 
+    # doc_stats swap (only when purging): write the surviving rows to a
+    # tmp dir, then rename-swap. Idempotent under rerun (filtering an
+    # already-purged doc_stats by the same tombstones is a no-op); the
+    # recovery branch above restores the _old dir if a crash lands
+    # between the two renames. Runs BEFORE the manifest commit so a
+    # committed snapshot never exposes tombstone-cleared stats alongside
+    # unpurged doc_stats rows.
+    if tombs is not None:
+        tomb_df = spark.read.parquet(
+            *(
+                os.path.join(index_dir, rel.replace("/", os.sep))
+                for rel in tomb_files_consumed
+            )
+        ).select("doc_id").distinct()
+        ds_tmp = ds_dir + "._purge_tmp"
+        shutil.rmtree(ds_tmp, ignore_errors=True)
+        (
+            spark.read.parquet(ds_dir)
+            .join(F.broadcast(tomb_df), "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .parquet(ds_tmp)
+        )
+        shutil.rmtree(ds_old, ignore_errors=True)
+        os.rename(ds_dir, ds_old)
+        os.rename(ds_tmp, ds_dir)
+        shutil.rmtree(ds_old, ignore_errors=True)
+
     # COMMIT via CAS: replace the compacted snapshot's files, keep any
-    # files committed since (a concurrent append's batch), flip shards
+    # files committed since (a concurrent append's batch), flip shards,
+    # consume the purged tombstones (a racing delete's NEW tombstone
+    # files survive the rebase), and apply the stats delta.
     base_set = set(base_files)
+    consumed = set(tomb_files_consumed)
 
     def _commit(m2: "fmt.IndexManifest") -> None:
         cur = (
@@ -342,8 +468,19 @@ def compact_in_place(
         )
         m2.n_shards = s_new
         m2.stages[f"compact:{gen}"] = True
+        if tombs is not None:
+            m2.tombstone_files = sorted(
+                set(m2.tombstone_files or []) - consumed
+            ) or None
+            m2.n_docs -= n_purged
+            m2.total_tokens -= purged_tokens
+            m2.avgdl = (
+                m2.total_tokens / m2.n_docs if m2.n_docs > 0 else 0.0
+            )
 
     fmt.commit_manifest(index_dir, _commit)
+    if os.path.exists(delta_path):
+        os.remove(delta_path)
 
 
 def vacuum_segments(

@@ -158,13 +158,28 @@ class IndexReader:
         return m
 
     def refresh(self) -> None:
-        """Re-read the manifest (after incremental appends)."""
+        """Re-read the manifest (after incremental appends/deletes)."""
         self.manifest = self._load_validated()
         self._df_cache.clear()
         self._segments_df = None
+        self._tombstones = None
         # a new snapshot may have appended segment rows to ANY term
         self._postings_cache.clear()
         self._postings_cache_size = 0
+
+    def tombstones(self) -> np.ndarray:
+        """Sorted tombstoned doc_ids of this reader's snapshot (empty
+        array when none) — loaded once per reader/refresh, masked into
+        every query path. The postings cache stores UNMASKED decoded
+        rows (masking happens at score time), so a delete only needs a
+        refresh(), never a cache-coherence protocol."""
+        t = getattr(self, "_tombstones", None)
+        if t is None:
+            from .delete import load_tombstones
+
+            t = load_tombstones(self.index_dir, self.manifest)
+            self._tombstones = t
+        return t
 
     def segments(self) -> DataFrame:
         # reuse one DataFrame across queries: the file listing + parquet
@@ -219,9 +234,18 @@ class IndexReader:
         )
 
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
+        ds = self.spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
             fmt.doc_stats_dir(self.index_dir)
         )
+        t = self.tombstones()
+        if t.size:
+            # tombstoned docs are gone from every reader surface, not
+            # just scoring (compaction purges the rows physically)
+            tomb_df = self.spark.createDataFrame(
+                [(int(x),) for x in t], "doc_id long"
+            )
+            ds = ds.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+        return ds
 
     def ids_for(self, terms: Sequence[str]) -> Dict[str, int]:
         """term -> term_id via a driver-side XXH64 bit-identical to the
@@ -319,17 +343,39 @@ def _normalize_queries(queries: Sequence[QuerySpec]) -> List[QuerySpec]:
     return out
 
 
+def _live_mask(d: np.ndarray, tombs: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    """Boolean keep-mask for doc array `d` against the sorted tombstone
+    array (None = keep everything — the common no-deletes fast path
+    allocates nothing)."""
+    if tombs is None or tombs.size == 0 or d.size == 0:
+        return None
+    idx = np.searchsorted(tombs, d)
+    idx_c = np.minimum(idx, tombs.size - 1)
+    return ~((idx < tombs.size) & (tombs[idx_c] == d))
+
+
 class _TermPostings:
     """All segment rows of one term within one shard (>1 row only after
-    incremental appends), decoded lazily: fully, or selected-blocks-only."""
+    incremental appends), decoded lazily: fully, or selected-blocks-only.
 
-    __slots__ = ("rows", "_full", "_maxsat", "avgdl_now")
+    tombs: sorted tombstoned doc_ids (index/delete.py) — every decode
+    surface (full / for_docs / positions_full) excludes them, so AND /
+    OR / phrase / near and the MaxScore candidate generation all honor
+    deletes through this one choke point. max_sat() deliberately does
+    NOT re-tighten: bounds that include deleted docs are still valid
+    upper bounds (pruning stays exact, just looser, until compaction
+    purges)."""
 
-    def __init__(self, avgdl_now: float):
+    __slots__ = ("rows", "_full", "_maxsat", "avgdl_now", "tombs")
+
+    def __init__(
+        self, avgdl_now: float, tombs: Optional[np.ndarray] = None
+    ):
         self.rows: List[tuple] = []  # (postings, positions, blockmax, bmav)
         self._full = None
         self._maxsat = None
         self.avgdl_now = avgdl_now
+        self.tombs = tombs
 
     def add(self, postings, positions, blockmax, bm_avgdl):
         self.rows.append(
@@ -356,13 +402,17 @@ class _TermPostings:
         if self._full is None:
             parts = [decode_block_postings(p) for p, _, _, _ in self.rows]
             if len(parts) == 1:
-                self._full = parts[0]
+                d, t, l = parts[0]
             else:
                 d = np.concatenate([p[0] for p in parts])
                 t = np.concatenate([p[1] for p in parts])
                 l = np.concatenate([p[2] for p in parts])
                 o = np.argsort(d, kind="stable")
-                self._full = (d[o], t[o], l[o])
+                d, t, l = d[o], t[o], l[o]
+            keep = _live_mask(d, self.tombs)
+            if keep is not None:
+                d, t, l = d[keep], t[keep], l[keep]
+            self._full = (d, t, l)
         return self._full
 
     def for_docs(self, docs: np.ndarray):
@@ -384,6 +434,9 @@ class _TermPostings:
             bases = np.where(blk > 0, last_doc[np.maximum(blk - 1, 0)], 0)
             d, t, l = decode_selected_blocks(pbuf, blk, bases)
             m = np.isin(d, docs)
+            keep = _live_mask(d, self.tombs)
+            if keep is not None:
+                m &= keep
             ds.append(d[m])
             ts.append(t[m])
             ls.append(l[m])
@@ -402,6 +455,19 @@ class _TermPostings:
         for pbuf, qbuf, _, _ in self.rows:
             d, t, _ = decode_block_postings(pbuf)
             flat = decode_positions(bytes(qbuf), t)
+            keep = _live_mask(d, self.tombs)
+            if keep is not None:
+                # drop deleted docs AND their ragged position runs
+                kidx = np.flatnonzero(keep)
+                starts = np.concatenate([[0], np.cumsum(t)])[:-1]
+                lens = t[kidx]
+                out_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+                take = (
+                    np.arange(int(lens.sum()), dtype=np.int64)
+                    - np.repeat(out_starts, lens)
+                    + np.repeat(starts[kidx], lens)
+                )
+                d, t, flat = d[kidx], t[kidx], flat[take]
             parts.append((d, t, flat))
         if len(parts) == 1:
             return parts[0]
@@ -616,19 +682,30 @@ def _near_docs(
     return docs[np.unique(d_all[order][hit])]
 
 
-def _shard_scorer(plan, avgdl: float, k: int, prune: bool):
+def _shard_scorer(
+    plan,
+    avgdl: float,
+    k: int,
+    prune: bool,
+    tombs: Optional[np.ndarray] = None,
+):
     """applyInPandas fn for one shard group.
 
     plan: list of (query_id, mode, [distinct terms, fixed order], [idfs],
     phrase_seq). Input: (shard, term, postings, positions?, blockmax) rows.
-    Output: (query_id, doc_id, score) — the shard-local exact top-k."""
+    Output: (query_id, doc_id, score) — the shard-local exact top-k.
+
+    tombs (sorted np.int64, pickled into the UDF closure): tombstoned
+    doc_ids every decode excludes. Ships with the task like the plan
+    itself — at a tombstone volume where that ever matters, compaction
+    has already purged (delete.py's stated pressure valve)."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         has_pos = "positions" in pdf.columns
         tp: Dict[int, _TermPostings] = {}
         for i in range(len(pdf)):
             term = int(pdf["term_id"].iat[i])
-            tp.setdefault(term, _TermPostings(avgdl)).add(
+            tp.setdefault(term, _TermPostings(avgdl, tombs)).add(
                 pdf["postings"].iat[i],
                 pdf["positions"].iat[i] if has_pos else b"",
                 pdf["blockmax"].iat[i],
@@ -746,7 +823,7 @@ def _shard_topk_candidates(
         seg.select(*cols)
         .groupBy("shard")
         .applyInPandas(
-            _shard_scorer(plan, avgdl, k, prune),
+            _shard_scorer(plan, avgdl, k, prune, tombs=r.tombstones()),
             schema="query_id string, doc_id long, score double",
         )
     )
@@ -875,7 +952,13 @@ def _score_single_term_local(
         else:
             cache.move_to_end(tid)  # LRU touch
         specs = qplan[tid]
+        tombs = reader.tombstones()
         for docs, tfs, dls in rows:
+            keep = _live_mask(docs, tombs)
+            if keep is not None:
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            if docs.size == 0:
+                continue
             for query_id, w in specs:
                 p = _partial(w, tfs, dls, avgdl)
                 idx = _topk_tiebreak(p, docs, k)
@@ -890,7 +973,8 @@ def _score_single_term_local(
 
 
 def _single_term_scorer(qplan: Dict[int, List[Tuple[str, float]]],
-                        avgdl: float, k: int):
+                        avgdl: float, k: int,
+                        tombs: Optional[np.ndarray] = None):
     """mapInPandas fn scoring single-term queries row-by-row: every
     segment row is doc-disjoint from every other row of the same term
     (doc-sharded build; incremental appends add new docs), so a per-row
@@ -906,6 +990,9 @@ def _single_term_scorer(qplan: Dict[int, List[Tuple[str, float]]],
                 if not specs:
                     continue
                 d, f, l = decode_block_postings(bytes(pdf["postings"].iat[i]))
+                keep = _live_mask(d, tombs)
+                if keep is not None:
+                    d, f, l = d[keep], f[keep], l[keep]
                 if d.size == 0:
                     continue
                 for query_id, w in specs:
@@ -1003,7 +1090,7 @@ def bm25_topk_rows(
                 )
                 .select("term_id", "postings")
                 .mapInPandas(
-                    _single_term_scorer(qplan, avgdl, k),
+                    _single_term_scorer(qplan, avgdl, k, tombs=r.tombstones()),
                     schema="query_id string, doc_id long, score double",
                 )
             )
