@@ -235,3 +235,74 @@ def test_purge_crash_recovery_doc_stats_swap(spark, corpus_ix):
     # the injected delta skipped the stats adjustment
     got = _df_results(spark, ix, _specs())
     assert not any(r[2] in set(victims) for r in got)
+
+
+def test_maybe_compact_tombstone_trigger_and_vacuum(spark, corpus_ix):
+    """maybe_compact fires on tombstone volume (footer row counts only),
+    the purge consumes the tombstones, and vacuum then expires the
+    now-unreferenced tombstone files along with the old segments."""
+    corpus, full_ix, base = corpus_ix
+    import shutil
+
+    from text_search_spark.index.merge import maybe_compact, vacuum_segments
+
+    ix = os.path.join(base, "ix_e")
+    shutil.copytree(full_ix, ix)
+    # below threshold: no compaction
+    few = _victims(corpus)[:3]
+    delete_docs(spark, ix, few)
+    assert maybe_compact(
+        spark, ix, max_files_per_bucket=10**6, max_tombstone_frac=0.2
+    ) is False
+    # past threshold: compaction runs and consumes the tombstones
+    more = _victims(corpus)  # 60 of 240 docs = 25%
+    delete_docs(spark, ix, more)
+    assert maybe_compact(
+        spark, ix, max_files_per_bucket=10**6, max_tombstone_frac=0.2
+    ) is True
+    man = fmt.load_manifest(ix)
+    assert man.tombstone_files is None
+    assert man.n_docs == N_DOCS - len(set(more) | set(few))
+
+    tdir = fmt.tombstones_dir(ix)
+    assert len(os.listdir(tdir)) == 2  # consumed but not yet expired
+    fmt.expire_snapshots(ix, retain_last=1)
+    removed = vacuum_segments(ix, grace_s=0.0, retain_last=1)
+    assert removed > 0
+    assert not [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    # index still answers
+    assert _df_results(spark, ix, _specs())
+
+
+def test_streaming_deletes(spark, corpus_ix, tmp_path):
+    """incremental_deletes: micro-batches of doc ids tombstone as they
+    arrive; a reader refresh after the stream sees none of them."""
+    corpus, full_ix, base = corpus_ix
+    import shutil
+
+    from text_search_spark.streaming.incremental import incremental_deletes
+
+    ix = os.path.join(base, "ix_f")
+    shutil.copytree(full_ix, ix)
+    victims = _victims(corpus)[:12]
+    src = tmp_path / "del_src"
+    src.mkdir()
+    for i, chunk in enumerate([victims[:6], victims[6:]]):
+        spark.createDataFrame(
+            [(int(v),) for v in chunk], "doc_id long"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    q = incremental_deletes(
+        spark,
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*"),
+        ix,
+        str(tmp_path / "del_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    man = fmt.load_manifest(ix)
+    assert len(man.tombstone_files) == 2
+    got = _df_results(spark, ix, _specs())
+    assert not any(r[2] in set(victims) for r in got)

@@ -18,7 +18,7 @@ new_shard) and spliced in a streaming Arrow UDF.
 from __future__ import annotations
 
 import os
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -524,6 +524,7 @@ def vacuum_segments(
     # union of the retained snapshots' file sets (history scan; the
     # current manifest is always retained even if snapshots/ is empty)
     listed = set(man.segment_files)
+    listed_tombs = set(man.tombstone_files or [])
     snaps_dir = fmt.snapshots_dir(index_dir)
     if retain_last > 0 and os.path.isdir(snaps_dir):
         import json as _json
@@ -538,6 +539,7 @@ def vacuum_segments(
                 d = _json.load(fh)
             m2 = fmt._manifest_from_dict(index_dir, d)
             listed.update(m2.segment_files or [])
+            listed_tombs.update(m2.tombstone_files or [])
 
     committed_streams = sorted(
         int(k.split(":")[1])
@@ -571,6 +573,22 @@ def vacuum_segments(
                 continue  # young enough to be a landing write — keep
             os.remove(p)
             removed += 1
+
+    # tombstone files consumed by a purge (and out of every retained
+    # snapshot) expire the same way; the grace covers a delete_docs
+    # that has landed its file but not yet CAS-committed the reference
+    troot = fmt.tombstones_dir(index_dir)
+    if os.path.isdir(troot):
+        for f in os.listdir(troot):
+            if not f.endswith(".parquet"):
+                continue
+            if f"tombstones/{f}" in listed_tombs:
+                continue
+            p = os.path.join(troot, f)
+            if grace_s > 0 and os.path.getmtime(p) > cutoff:
+                continue
+            os.remove(p)
+            removed += 1
     return removed
 
 
@@ -578,28 +596,56 @@ def maybe_compact(
     spark: SparkSession,
     index_dir: str,
     max_files_per_bucket: int = 8,
+    max_tombstone_frac: Optional[float] = 0.2,
     factor: int = 1,
 ) -> bool:
     """Maintenance policy: compact iff some bucket's committed file
-    count exceeds max_files_per_bucket. Returns whether a compaction
-    ran. The check is manifest-only (no filesystem walk, no Spark job)
-    — O(committed file list) on the driver — so it is cheap enough to
-    run after every streaming micro-batch commit
+    count exceeds max_files_per_bucket, OR tombstoned docs exceed
+    max_tombstone_frac of n_docs (None disables the tombstone trigger).
+    Returns whether a compaction ran.
+
+    The file-count check is manifest-only (no filesystem walk, no Spark
+    job); the tombstone check reads only parquet FOOTERS of the
+    manifest's tombstone files (row counts — never the ids), so both
+    are cheap enough to run after every streaming micro-batch commit
     (incremental_index(auto_compact_files=...)). Per-file open/decode
     dominates single-query latency (BENCH.md: 61 files p50 4.65 ms vs
-    8 files 2.75 ms), and appends strictly grow the file count — this
-    is the knob that keeps a long-lived streamed index fast without an
-    external maintenance job. The Iceberg analog is a
-    rewrite_data_files trigger on min-input-files; the CAS commit
-    protocol makes it safe to run while appends continue."""
+    8 files 2.75 ms) and appends strictly grow the file count;
+    tombstones grow the per-query mask and hold dead postings on disk —
+    compaction is the pressure valve for both (delete.py). The Iceberg
+    analog is a rewrite_data_files trigger on min-input-files /
+    delete-file ratio; the CAS commit protocol makes it safe to run
+    while appends and deletes continue.
+
+    The tombstone-row count is an UPPER bound on deleted docs (files
+    may overlap or name absent ids) — an over-eager compaction is
+    wasted work, never wrong results."""
     man = fmt.load_manifest(index_dir)
     if man is None or not man.segment_files:
         return False
+    trigger = False
     per_bucket: dict = {}
     for p in man.segment_files:
         b = p.split("/", 1)[0]
         per_bucket[b] = per_bucket.get(b, 0) + 1
-    if max(per_bucket.values()) <= max_files_per_bucket:
+    if per_bucket and max(per_bucket.values()) > max_files_per_bucket:
+        trigger = True
+    if (
+        not trigger
+        and max_tombstone_frac is not None
+        and man.tombstone_files
+        and man.n_docs > 0
+    ):
+        import pyarrow.parquet as pq
+
+        n_tomb = sum(
+            pq.ParquetFile(
+                os.path.join(index_dir, rel.replace("/", os.sep))
+            ).metadata.num_rows
+            for rel in man.tombstone_files
+        )
+        trigger = n_tomb / man.n_docs > max_tombstone_frac
+    if not trigger:
         return False
     compact_in_place(spark, index_dir, factor=factor)
     return True

@@ -373,3 +373,35 @@ def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
         m2.stages["term_stats"] = True
 
     fmt.commit_manifest(index_dir, _mark)
+
+
+def incremental_deletes(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    id_col: str = "doc_id",
+):
+    """Streaming deletes: each micro-batch of doc ids tombstones its
+    docs (index/delete.py) — takedowns / robots revocations / opt-outs
+    arriving as a stream next to the indexing stream. Returns the
+    StreamingQuery.
+
+    Idempotence under at-least-once foreachBatch: a redelivered batch
+    writes a second tombstone file with the same ids, which is
+    harmless — readers take the union, and the next purge consumes
+    both files. Deletes and appends may run concurrently: both commit
+    through the CAS protocol, so neither clobbers the other's manifest
+    state (a doc appended and deleted around the same time converges
+    to deleted as long as the delete's tombstone commit is observed by
+    the reader's refresh — tombstones mask by doc_id regardless of
+    which segment file holds the postings)."""
+    from ..index.delete import delete_docs
+
+    writer = stream_df.writeStream.foreachBatch(
+        lambda b, bid: delete_docs(spark, index_dir, b, id_col=id_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
