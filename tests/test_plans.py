@@ -77,11 +77,19 @@ def test_knn_broadcasts_queries(spark):
     assert_in_plan(ann.cosine_topk(emb, qs, k=5), "BroadcastNestedLoopJoin")
 
 
-def test_tpch_q3_broadcast_join(spark):
+def test_tpch_q1_no_join_one_agg_exchange(spark):
+    """tpch_q1 (A6 global sums; tpch_q3 retired round-6 for census room
+    — its broadcast-join pin lives on in test_webtext's host_filter
+    plan pins): one hash-agg shuffle, no join, filter pushed to scan."""
     import __spark_entry__ as em
 
-    df = em.queries()["tpch_q3"](spark, SF_DIR)
-    assert_in_plan(df, "BroadcastHashJoin")
+    df = em.queries()["tpch_q1"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate)]" in plan
 
 
 def test_corpus_scan_prunes_columns(spark, tmp_path):

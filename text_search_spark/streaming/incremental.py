@@ -405,3 +405,90 @@ def incremental_deletes(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    ts_col: Optional[str] = None,
+) -> None:
+    """Index UPSERT for one micro-batch of (url, text[, ts_col]) pages:
+    re-crawled urls REPLACE their previous version in the index — the
+    Common-Crawl refetch story (webtext.latest_snapshot) carried all
+    the way into the inverted index instead of stopping at the corpus
+    table.
+
+    Mechanics (all existing primitives — append + tombstones):
+
+    1. within-batch collapse: with ts_col, only each url's newest
+       snapshot indexes (webtext.latest_snapshot — one combiner-
+       friendly agg); without it, the batch must be one-row-per-url.
+    2. fresh version-scoped doc_ids: xxhash64(url, batch_id) — a
+       re-crawl gets a NEW doc_id, so the old version's tombstone can
+       never shadow the new one (tombstones mask by doc_id).
+    3. append the batch (idempotent, stage-gated like every stream
+       batch).
+    4. tombstone the url's PREVIOUS doc_ids: doc_stats rows for these
+       urls minus this batch's own ids — recomputable idempotently, so
+       an at-least-once redelivery converges (the append no-ops, the
+       delete re-derives the same set and writes an overlapping
+       tombstone file, which readers union).
+
+    Crash contract: append commits before the delete, so the worst
+    in-between state is BOTH versions briefly visible (a duplicate),
+    never a url missing from the index; the batch retry completes the
+    delete. n_docs/avgdl count tombstoned versions until compaction
+    purges (the documented Lucene stats drift — maybe_compact's
+    tombstone-fraction trigger is the pressure valve, important here
+    because every upsert produces one tombstone)."""
+    from ..index.delete import delete_docs
+    from ..operators.webtext import latest_snapshot
+
+    if ts_col is not None:
+        batch = latest_snapshot(
+            batch, url_col="url", ts_col=ts_col, payload_cols=["text"]
+        ).select("url", "text")
+    else:
+        batch = batch.select("url", "text")
+    versioned = batch.select(
+        F.xxhash64(F.col("url"), F.lit(batch_id)).alias("doc_id"),
+        "url",
+        "text",
+    ).persist()
+    try:
+        _append_batch(spark, versioned, index_dir, batch_id)
+        ds_dir = fmt.doc_stats_dir(index_dir)
+        old = (
+            spark.read.schema(fmt.DOC_STATS_READ_SCHEMA)
+            .parquet(ds_dir)
+            .join(versioned.select("url"), "url", "leftsemi")
+            .join(versioned.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id")
+        )
+        delete_docs(spark, index_dir, old)
+    finally:
+        versioned.unpersist()
+
+
+def incremental_index_upserts(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    ts_col: Optional[str] = None,
+):
+    """Streaming upsert maintenance: each micro-batch of re-crawled
+    pages replaces its urls' previous versions (upsert_batch). Returns
+    the StreamingQuery. Pair with
+    incremental_index(auto_compact_files=...)-style maintenance by
+    calling merge.maybe_compact alongside, or run it on a schedule —
+    every upsert leaves one tombstoned version behind until a purge."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda b, bid: upsert_batch(spark, b, index_dir, bid, ts_col=ts_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
