@@ -441,12 +441,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4-row bands (collision prob s^4 per band), where candidate
         # pairs are actual near-duplicates, not same-language
         # vocabulary overlap
+        # recover_capped=False: the DuckDB oracle models the pure cap
+        # semantics (WHERE bsz <= 1000); the round-6 chunk-clique+bridge
+        # recovery is order-dependent (secondary-sort chunking) and is
+        # gated by tests/test_components.py + the 400k-page bench
+        # instead — leaving it on here would diverge from the oracle the
+        # first time a scale factor grows a >1000-member bucket
         docs = _t(spark, sf_dir, "documents")
         term = dedup.lsh_candidate_pairs(
-            dedup.minhash_signatures(docs)
+            dedup.minhash_signatures(docs), recover_capped=False
         ).withColumn("variant", F.lit("term"))
         sh3 = dedup.lsh_candidate_pairs(
-            dedup.minhash_signatures(docs, shingle_n=3), rows_per_band=4
+            dedup.minhash_signatures(docs, shingle_n=3),
+            rows_per_band=4,
+            recover_capped=False,
         ).withColumn("variant", F.lit("shingle3"))
         return term.unionByName(sh3)
 

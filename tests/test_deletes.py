@@ -201,38 +201,55 @@ def test_delete_dataframe_input_and_refresh_visibility(spark, corpus_ix):
     assert not any(r[2] in vset for r in got)
 
 
-def test_purge_crash_recovery_doc_stats_swap(spark, corpus_ix):
-    """A crash between the two doc_stats renames leaves only the _old
-    dir; the next compaction restores it and completes the purge with
-    the persisted stats delta (no zero- or double-count)."""
+def test_purge_crash_rerun_and_doc_stats_snapshot(spark, corpus_ix):
+    """doc_stats is snapshot-tracked (round-6b review fix): a crashed
+    purge attempt's stray compactN- doc_stats files are cleaned on
+    rerun (no double-count), a reader pinned to a pre-delete snapshot
+    keeps its full doc_stats view after the purge, and vacuum expires
+    the replaced files."""
     corpus, full_ix, base = corpus_ix
     import shutil
 
+    from text_search_spark.index.merge import vacuum_segments
+
     ix = os.path.join(base, "ix_d")
     shutil.copytree(full_ix, ix)
+    pre_sid = fmt.load_manifest(ix).snapshot_id
     victims = _victims(corpus)[:10]
     delete_docs(spark, ix, victims)
 
     ds_dir = fmt.doc_stats_dir(ix)
-    # simulate the crash window: delta persisted, doc_stats renamed
-    # away, new dir never landed
-    import json
-
-    with open(ds_dir + "._purge_delta-0.json", "w") as fh:
-        json.dump({"n_purged": 0, "purged_tokens": 0}, fh)
-    os.rename(ds_dir, ds_dir + "._old")
+    base_ds = set(fmt.load_manifest(ix).doc_stats_files)
+    # simulate a crashed prior attempt of THIS generation: a stray
+    # compact0- doc_stats file full of garbage rows that must NOT be
+    # absorbed by the rerun
+    stray = os.path.join(ds_dir, "compact0-garbage.parquet")
+    spark.createDataFrame(
+        [(999_999_999, "u", 12345)], "doc_id long, url string, doc_len long"
+    ).toPandas().to_parquet(stray)
 
     compact_in_place(spark, ix)
     man = fmt.load_manifest(ix)
     assert man.tombstone_files is None
-    assert os.path.isdir(ds_dir) and not os.path.isdir(ds_dir + "._old")
-    # the injected zero delta was generation-0's own file, so it is
-    # honored (idempotence contract: a rerun must not re-subtract);
-    # stats therefore remain the committed ones
-    assert man.n_docs == N_DOCS
-    assert not os.path.exists(ds_dir + "._purge_delta-0.json")
-    # victims stay excluded from queries (postings purged) even though
-    # the injected delta skipped the stats adjustment
+    assert man.n_docs == N_DOCS - len(victims)
+    assert not os.path.exists(stray)  # same-generation stray cleaned
+    # committed list = replacement files only; old files still on disk
+    assert all(f.startswith("compact0-") for f in man.doc_stats_files)
+    assert base_ds <= set(os.listdir(ds_dir))
+    # live reader's doc_stats == purged set
+    assert IndexReader(spark, ix).doc_stats().count() == man.n_docs
+    # a reader pinned BEFORE the delete still sees every doc's stats
+    pinned = IndexReader(spark, ix, snapshot_id=pre_sid)
+    assert pinned.doc_stats().count() == N_DOCS
+    # after history expiry + vacuum, the replaced files are gone and
+    # the live snapshot still answers
+    fmt.expire_snapshots(ix, retain_last=1)
+    removed = vacuum_segments(
+        ix, grace_s=0.0, retain_last=1, tombstone_grace_s=0.0
+    )
+    assert removed > 0
+    assert base_ds.isdisjoint(set(os.listdir(ds_dir)))
+    assert IndexReader(spark, ix).doc_stats().count() == man.n_docs
     got = _df_results(spark, ix, _specs())
     assert not any(r[2] in set(victims) for r in got)
 
@@ -267,7 +284,9 @@ def test_maybe_compact_tombstone_trigger_and_vacuum(spark, corpus_ix):
     tdir = fmt.tombstones_dir(ix)
     assert len(os.listdir(tdir)) == 2  # consumed but not yet expired
     fmt.expire_snapshots(ix, retain_last=1)
-    removed = vacuum_segments(ix, grace_s=0.0, retain_last=1)
+    removed = vacuum_segments(
+        ix, grace_s=0.0, retain_last=1, tombstone_grace_s=0.0
+    )
     assert removed > 0
     assert not [f for f in os.listdir(tdir) if f.endswith(".parquet")]
     # index still answers

@@ -116,9 +116,21 @@ def test_batch_append_idempotent_under_retry(spark, tmp_path):
     assert spark.read.parquet(fmt.doc_stats_dir(ix)).count() == n_ds1
     assert fmt.load_manifest(ix).n_docs == man1.n_docs
 
-    # (b) torn batch: pretend the manifest commit never landed, retry
+    # (b) torn batch: the manifest commit never landed — the commit is
+    # ATOMIC (stage flag, stats delta and file lists flip in one CAS
+    # mutate), so the faithful torn state is the PRE-commit manifest
+    # with the batch's files already on disk. (Round-6b: stats are now
+    # committed as deltas, so a simulation that removed only the stage
+    # flag while keeping the committed stats would fabricate a state
+    # the protocol cannot produce.)
     man = fmt.load_manifest(ix)
     del man.stages["stream:0"]
+    man.n_docs = 0
+    man.total_tokens = 0
+    man.avgdl = 0.0
+    man.segment_files = []
+    man.doc_stats_files = []
+    man.complete = False
     fmt.save_manifest(ix, man)
     _append_batch(spark, corpus, ix, batch_id=0)
     man2 = fmt.load_manifest(ix)

@@ -361,3 +361,32 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
         else np.empty(0, np.int64)
     )
     return _segment_cumsum(gaps, starts.astype(np.int64))
+
+
+def live_doc_mask(d: np.ndarray, tombs) -> "np.ndarray | None":
+    """Boolean keep-mask for doc array `d` against a SORTED tombstone
+    array (index/delete.py); None = keep everything (the common
+    no-deletes path allocates nothing). Shared by the query-side
+    exclusion (query._TermPostings) and the compaction purge
+    (merge._live_rows) so the membership test cannot diverge."""
+    if tombs is None or tombs.size == 0 or d.size == 0:
+        return None
+    idx = np.searchsorted(tombs, d)
+    idx_c = np.minimum(idx, tombs.size - 1)
+    return ~((idx < tombs.size) & (tombs[idx_c] == d))
+
+
+def ragged_take_index(tfs: np.ndarray, keep_idx: np.ndarray) -> np.ndarray:
+    """Gather index into a flat per-doc-run array (e.g. decode_positions
+    output, len == tfs.sum()) selecting the runs of docs `keep_idx`
+    (indices into tfs), in keep_idx order. One vectorized construction
+    shared by every ragged filter/reorder site."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(tfs)])[:-1]
+    lens = tfs[keep_idx]
+    out_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    return (
+        np.arange(int(lens.sum()), dtype=np.int64)
+        - np.repeat(out_starts, lens)
+        + np.repeat(starts[keep_idx], lens)
+    )

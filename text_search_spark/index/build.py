@@ -1083,6 +1083,9 @@ def build_index(
                 man.total_tokens, spark.sparkContext.defaultParallelism
             )
             man.n_buckets, man.n_shards = n_buckets, n_shards
+        # snapshot-track the doc_stats file set (round-6b): the purge
+        # and vacuum flip/expire it like segments
+        man.doc_stats_files = fmt.list_doc_stats_files(index_dir)
         _append_metrics(
             spark, index_dir, run_id, "doc_stats", "all", n_docs, 0, 0
         )

@@ -117,6 +117,14 @@ class IndexManifest:
     # list (exactly Lucene's deleted-docs contract; block-max bounds
     # stay valid upper bounds in between). None == [] == no deletes.
     tombstone_files: Optional[List[str]] = None
+    # doc_stats is snapshot-tracked exactly like segments (round-6b,
+    # review finding: the purge's former in-place dir swap could
+    # destroy a racing append's landing doc_stats files): paths
+    # relative to doc_stats_dir, '/'-normalized; the purge lands
+    # compactN- replacement files next to the old ones and this list
+    # flips with the commit, so pinned time-travel readers keep a
+    # consistent doc_stats view until vacuum. None = legacy dir scan.
+    doc_stats_files: Optional[List[str]] = None
 
 
 # file lists at most this long are inlined in manifest.json; longer
@@ -252,6 +260,10 @@ def save_manifest(index_dir: str, m: IndexManifest) -> None:
         m.tombstone_files = [
             p.replace(os.sep, "/") for p in m.tombstone_files
         ]
+    if m.doc_stats_files is not None:
+        m.doc_stats_files = [
+            p.replace(os.sep, "/") for p in m.doc_stats_files
+        ]
     while True:
         m.snapshot_id = (
             max(m.snapshot_id, latest_snapshot_id(index_dir)) + 1
@@ -363,6 +375,10 @@ def commit_manifest(
             man.tombstone_files = [
                 p.replace(os.sep, "/") for p in man.tombstone_files
             ]
+        if man.doc_stats_files is not None:
+            man.doc_stats_files = [
+                p.replace(os.sep, "/") for p in man.doc_stats_files
+            ]
         os.makedirs(snapshots_dir(index_dir), exist_ok=True)
         payload = _externalize_file_list(index_dir, man)
         tmp = os.path.join(
@@ -383,11 +399,21 @@ def commit_manifest(
     )
 
 
-def expire_snapshots(index_dir: str, retain_last: int = 2) -> int:
+def expire_snapshots(
+    index_dir: str, retain_last: int = 2, sidecar_grace_s: float = 3600.0
+) -> int:
     """Drop snapshot history older than the last `retain_last` claimed
     snapshots, plus filelist sidecars no retained snapshot (or the
     pointer) references. Bounds snapshots/ + filelists/ growth; run
-    with (or after) vacuum_segments. Returns files removed."""
+    with (or after) vacuum_segments. Returns files removed.
+
+    sidecar_grace_s: filelist sidecar dirs YOUNGER than this are kept
+    even when unreferenced — commit_manifest/save_manifest write the
+    sidecar fully BEFORE the snapshot claim references it, so an
+    expirer racing an in-flight commit would otherwise delete the dir
+    the imminent claim points at and leave that snapshot unreadable
+    (same landing-window guard as vacuum_segments' grace). Pass 0 only
+    when no writer can be active."""
     assert retain_last >= 1
     d = snapshots_dir(index_dir)
     removed = 0
@@ -418,11 +444,17 @@ def expire_snapshots(index_dir: str, retain_last: int = 2) -> int:
     fl = filelists_dir(index_dir)
     if os.path.isdir(fl):
         import shutil
+        import time as _time
 
+        cutoff = _time.time() - sidecar_grace_s
         for tok in os.listdir(fl):
-            if f"filelists/{tok}" not in live_refs:
-                shutil.rmtree(os.path.join(fl, tok), ignore_errors=True)
-                removed += 1
+            tok_path = os.path.join(fl, tok)
+            if f"filelists/{tok}" in live_refs:
+                continue
+            if sidecar_grace_s > 0 and os.path.getmtime(tok_path) > cutoff:
+                continue  # possibly an in-flight commit's landing sidecar
+            shutil.rmtree(tok_path, ignore_errors=True)
+            removed += 1
     return removed
 
 
@@ -453,7 +485,16 @@ def list_segment_files(index_dir: str) -> List[str]:
     """Walk segments_dir and return sorted segments_dir-relative paths of
     every .parquet part file — used by writers at COMMIT time to record
     the snapshot's file set in the manifest (readers never walk)."""
-    root = segments_dir(index_dir)
+    return _list_parquet_files(segments_dir(index_dir))
+
+
+def list_doc_stats_files(index_dir: str) -> List[str]:
+    """Same walk over doc_stats_dir (doc_stats is snapshot-tracked the
+    same way as segments)."""
+    return _list_parquet_files(doc_stats_dir(index_dir))
+
+
+def _list_parquet_files(root: str) -> List[str]:
     out: List[str] = []
     if not os.path.isdir(root):
         return out
@@ -480,17 +521,34 @@ def committed_files_legacy(index_dir: str, stages: Dict[str, bool]) -> List[str]
     committed. Orphans from a crashed never-committed batch or
     compaction attempt are excluded instead of silently adopted."""
 
-    def _committed(p: str) -> bool:
-        base = os.path.basename(p)
-        mb = re.match(r"batch(\d+)-", base)
-        if mb:
-            return bool(stages.get(f"stream:{mb.group(1)}"))
-        mc = re.match(r"compact(\d+)-", base)
-        if mc:
-            return bool(stages.get(f"compact:{mc.group(1)}"))
-        return True
+    return [
+        p
+        for p in list_segment_files(index_dir)
+        if _stage_committed(p, stages)
+    ]
 
-    return [p for p in list_segment_files(index_dir) if _committed(p)]
+
+def _stage_committed(p: str, stages: Dict[str, bool]) -> bool:
+    base = os.path.basename(p)
+    mb = re.match(r"batch(\d+)-", base)
+    if mb:
+        return bool(stages.get(f"stream:{mb.group(1)}"))
+    mc = re.match(r"compact(\d+)-", base)
+    if mc:
+        return bool(stages.get(f"compact:{mc.group(1)}"))
+    return True
+
+
+def committed_doc_stats_legacy(
+    index_dir: str, stages: Dict[str, bool]
+) -> List[str]:
+    """committed_files_legacy for the doc_stats table (legacy manifests
+    with doc_stats_files=None)."""
+    return [
+        p
+        for p in list_doc_stats_files(index_dir)
+        if _stage_committed(p, stages)
+    ]
 
 
 def segments_dir(index_dir: str) -> str:

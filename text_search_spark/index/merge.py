@@ -31,6 +31,8 @@ from ..codec import (
     encode_block_postings,
     encode_blockmax,
     encode_positions,
+    live_doc_mask,
+    ragged_take_index,
 )
 from . import format as fmt
 
@@ -38,23 +40,16 @@ from . import format as fmt
 def _live_rows(d, t, l, p, tombs):
     """Drop tombstoned docs from one decoded segment row (docs, tfs,
     dls, flat positions) — the physical purge step of delete.py's
-    contract. None tombs = identity."""
-    if tombs is None or tombs.size == 0 or d.size == 0:
+    contract. None tombs = identity. Shares the membership test and
+    ragged gather with the query-side exclusion (codec.live_doc_mask /
+    ragged_take_index) so the two sides cannot diverge."""
+    keep = live_doc_mask(d, tombs)
+    if keep is None:
         return d, t, l, p
-    idx = np.searchsorted(tombs, d)
-    idx_c = np.minimum(idx, tombs.size - 1)
-    keep = ~((idx < tombs.size) & (tombs[idx_c] == d))
     if keep.all():
         return d, t, l, p
     kidx = np.flatnonzero(keep)
-    starts = np.concatenate([[0], np.cumsum(t)])[:-1].astype(np.int64)
-    lens = t[kidx]
-    out_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
-    take = (
-        np.arange(int(lens.sum()), dtype=np.int64)
-        - np.repeat(out_starts, lens)
-        + np.repeat(starts[kidx], lens)
-    )
+    take = ragged_take_index(t, kidx)
     return d[kidx], t[kidx], l[kidx], p[take]
 
 
@@ -304,11 +299,15 @@ def compact_in_place(
     # clean a previous crashed attempt of the SAME generation BEFORE
     # building the source DataFrame: for a legacy manifest the source
     # is a directory scan, and stale same-generation strays would merge
-    # in twice (they are re-encodes of rows already in the source)
-    for d, _dirs, files in os.walk(seg_root):
-        for f in files:
-            if f.startswith(prefix):
-                os.remove(os.path.join(d, f))
+    # in twice (they are re-encodes of rows already in the source).
+    # doc_stats strays too (the purge lands compactN- files there).
+    for walk_root in (seg_root, fmt.doc_stats_dir(index_dir)):
+        if not os.path.isdir(walk_root):
+            continue
+        for d, _dirs, files in os.walk(walk_root):
+            for f in files:
+                if f.startswith(prefix):
+                    os.remove(os.path.join(d, f))
 
     # the exact snapshot being compacted — the rebase below replaces
     # precisely this set in whatever manifest wins the CAS race. For a
@@ -323,13 +322,16 @@ def compact_in_place(
     base_files = man.segment_files
 
     # ---- tombstone purge bookkeeping (delete.py contract) ----
-    # The stats delta (docs/tokens leaving the corpus) is computed from
-    # doc_stats BEFORE the doc_stats swap and persisted as a
-    # generation-tagged delta file, so a crash anywhere in the
-    # purge-swap-commit sequence is recoverable without double- or
-    # zero-counting: the rerun reads the delta instead of recomputing
-    # against already-purged doc_stats. A stale other-generation delta
-    # (post-commit crash) is removed here.
+    # doc_stats is snapshot-tracked like segments (round-6b review
+    # fix: the former in-place dir swap could destroy a racing
+    # append's landing doc_stats files and had unrecoverable crash
+    # windows). The purge reads exactly the BASE snapshot's doc_stats
+    # file set, lands filtered compactN- replacement files next to the
+    # old ones, and the manifest flip swaps the list — old files stay
+    # on disk for pinned time-travel readers until vacuum. Crash-rerun
+    # is naturally idempotent: the unflipped manifest still pins the
+    # base list, so the stats delta recomputes identically and the
+    # same-generation strays are cleaned first (below, with segments).
     from .delete import load_tombstones
 
     tomb_files_consumed = list(man.tombstone_files or [])
@@ -337,49 +339,40 @@ def compact_in_place(
     if tombs is not None and tombs.size == 0:
         tombs = None
     ds_dir = fmt.doc_stats_dir(index_dir)
-    delta_path = ds_dir + f"._purge_delta-{gen}.json"
-    import glob as _glob
-    import json as _json
+    if man.doc_stats_files is None:
+        man.doc_stats_files = fmt.committed_doc_stats_legacy(
+            index_dir, man.stages
+        )
+    base_ds_files = list(man.doc_stats_files)
 
-    for stale in _glob.glob(ds_dir + "._purge_delta-*.json"):
-        if stale != delta_path:
-            os.remove(stale)
-    # crash recovery for the doc_stats swap (see _swap below): restore
-    # a half-swapped doc_stats before anything reads it
-    ds_old = ds_dir + "._old"
-    if not os.path.isdir(ds_dir) and os.path.isdir(ds_old):
-        os.rename(ds_old, ds_dir)
+    def _ds_base_df():
+        if not base_ds_files:
+            return spark.createDataFrame([], fmt.DOC_STATS_READ_SCHEMA)
+        return spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
+            *(
+                os.path.join(ds_dir, p.replace("/", os.sep))
+                for p in base_ds_files
+            )
+        )
 
     n_purged, purged_tokens = 0, 0
     if tombs is not None:
-        if os.path.exists(delta_path):
-            with open(delta_path) as fh:
-                dj = _json.load(fh)
-            n_purged, purged_tokens = dj["n_purged"], dj["purged_tokens"]
-        else:
-            tomb_df = spark.read.parquet(
-                *(
-                    os.path.join(index_dir, rel.replace("/", os.sep))
-                    for rel in tomb_files_consumed
-                )
-            ).select("doc_id").distinct()
-            row = (
-                spark.read.parquet(ds_dir)
-                .join(F.broadcast(tomb_df), "doc_id", "leftsemi")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tok"),
-                )
-                .first()
+        tomb_df = spark.read.parquet(
+            *(
+                os.path.join(index_dir, rel.replace("/", os.sep))
+                for rel in tomb_files_consumed
             )
-            n_purged, purged_tokens = int(row["n"]), int(row["tok"])
-            tmp_delta = delta_path + ".tmp"
-            with open(tmp_delta, "w") as fh:
-                _json.dump(
-                    {"n_purged": n_purged, "purged_tokens": purged_tokens},
-                    fh,
-                )
-            os.replace(tmp_delta, delta_path)
+        ).select("doc_id").distinct()
+        row = (
+            _ds_base_df()
+            .join(F.broadcast(tomb_df), "doc_id", "leftsemi")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tok"),
+            )
+            .first()
+        )
+        n_purged, purged_tokens = int(row["n"]), int(row["tok"])
     live_docs = max(1, man.n_docs - n_purged)
     new_avgdl = (
         (man.total_tokens - purged_tokens) / live_docs
@@ -423,32 +416,30 @@ def compact_in_place(
             )
     shutil.rmtree(tmp, ignore_errors=True)
 
-    # doc_stats swap (only when purging): write the surviving rows to a
-    # tmp dir, then rename-swap. Idempotent under rerun (filtering an
-    # already-purged doc_stats by the same tombstones is a no-op); the
-    # recovery branch above restores the _old dir if a crash lands
-    # between the two renames. Runs BEFORE the manifest commit so a
-    # committed snapshot never exposes tombstone-cleared stats alongside
-    # unpurged doc_stats rows.
+    # doc_stats purge (only when tombstones exist): land the filtered
+    # rows as generation-tagged files NEXT TO the old ones — never an
+    # in-place swap, so a racing append's landing doc_stats files are
+    # untouched and a pinned reader's snapshot stays intact. The
+    # manifest flip below swaps the list; vacuum expires the old files.
+    new_ds_files: List[str] = []
     if tombs is not None:
-        tomb_df = spark.read.parquet(
-            *(
-                os.path.join(index_dir, rel.replace("/", os.sep))
-                for rel in tomb_files_consumed
-            )
-        ).select("doc_id").distinct()
-        ds_tmp = ds_dir + "._purge_tmp"
+        ds_tmp = ds_dir + "._compact_tmp"
         shutil.rmtree(ds_tmp, ignore_errors=True)
         (
-            spark.read.parquet(ds_dir)
+            _ds_base_df()
             .join(F.broadcast(tomb_df), "doc_id", "left_anti")
             .write.mode("overwrite")
             .parquet(ds_tmp)
         )
-        shutil.rmtree(ds_old, ignore_errors=True)
-        os.rename(ds_dir, ds_old)
-        os.rename(ds_tmp, ds_dir)
-        shutil.rmtree(ds_old, ignore_errors=True)
+        os.makedirs(ds_dir, exist_ok=True)
+        for f in os.listdir(ds_tmp):
+            if not f.endswith(".parquet"):
+                continue
+            os.replace(
+                os.path.join(ds_tmp, f), os.path.join(ds_dir, prefix + f)
+            )
+            new_ds_files.append(prefix + f)
+        shutil.rmtree(ds_tmp, ignore_errors=True)
 
     # COMMIT via CAS: replace the compacted snapshot's files, keep any
     # files committed since (a concurrent append's batch), flip shards,
@@ -469,6 +460,18 @@ def compact_in_place(
         m2.n_shards = s_new
         m2.stages[f"compact:{gen}"] = True
         if tombs is not None:
+            cur_ds = (
+                m2.doc_stats_files
+                if m2.doc_stats_files is not None
+                else list(base_ds_files)
+            )
+            # replace exactly the purged base set; doc_stats files a
+            # racing append committed since are retained (their docs
+            # were not in this purge's tombstones by definition of the
+            # base snapshot)
+            m2.doc_stats_files = sorted(
+                (set(cur_ds) - set(base_ds_files)) | set(new_ds_files)
+            )
             m2.tombstone_files = sorted(
                 set(m2.tombstone_files or []) - consumed
             ) or None
@@ -479,14 +482,13 @@ def compact_in_place(
             )
 
     fmt.commit_manifest(index_dir, _commit)
-    if os.path.exists(delta_path):
-        os.remove(delta_path)
 
 
 def vacuum_segments(
     index_dir: str,
     grace_s: float = 3600.0,
     retain_last: int = 1,
+    tombstone_grace_s: Optional[float] = None,
 ) -> int:
     """Expire segment files no retained snapshot references
     (pre-compaction generations, crashed attempts). Returns the number
@@ -525,6 +527,10 @@ def vacuum_segments(
     # current manifest is always retained even if snapshots/ is empty)
     listed = set(man.segment_files)
     listed_tombs = set(man.tombstone_files or [])
+    # legacy manifests (doc_stats_files=None) keep their entire
+    # doc_stats dir: a None here means "retain everything" below
+    legacy_ds = man.doc_stats_files is None
+    listed_ds = set(man.doc_stats_files or [])
     snaps_dir = fmt.snapshots_dir(index_dir)
     if retain_last > 0 and os.path.isdir(snaps_dir):
         import json as _json
@@ -540,6 +546,10 @@ def vacuum_segments(
             m2 = fmt._manifest_from_dict(index_dir, d)
             listed.update(m2.segment_files or [])
             listed_tombs.update(m2.tombstone_files or [])
+            if m2.doc_stats_files is None:
+                legacy_ds = True
+            else:
+                listed_ds.update(m2.doc_stats_files)
 
     committed_streams = sorted(
         int(k.split(":")[1])
@@ -574,9 +584,46 @@ def vacuum_segments(
             os.remove(p)
             removed += 1
 
+    # doc_stats files out of every retained snapshot (pre-purge
+    # versions) expire under the same rules as segments; skipped
+    # entirely while any retained snapshot is legacy (no list = the
+    # whole dir is its snapshot)
+    if not legacy_ds:
+        ds_root = fmt.doc_stats_dir(index_dir)
+        if os.path.isdir(ds_root):
+            for f in os.listdir(ds_root):
+                if not f.endswith(".parquet"):
+                    continue
+                if f in listed_ds:
+                    continue
+                mb = _re.match(r"batch(\d+)-", f)
+                if mb and int(mb.group(1)) > max_stream:
+                    continue  # possibly still landing
+                mc = _re.match(r"compact(\d+)-", f)
+                if mc and int(mc.group(1)) >= cur_compact_gen:
+                    continue  # active compactor's landing files
+                p = os.path.join(ds_root, f)
+                if grace_s > 0 and os.path.getmtime(p) > cutoff:
+                    continue
+                os.remove(p)
+                removed += 1
+
     # tombstone files consumed by a purge (and out of every retained
-    # snapshot) expire the same way; the grace covers a delete_docs
-    # that has landed its file but not yet CAS-committed the reference
+    # snapshot) expire too. Unlike segments, tombstone files have NO
+    # generation tag, so the land-then-commit window of a concurrent
+    # delete_docs is guarded purely by age: tombstone_grace_s defaults
+    # to max(grace_s, 1h) — segments' grace_s=0 ("generation retention
+    # alone") must NOT strip the tombstones' only landing guard, or a
+    # racing vacuum deletes the file a delete commit is about to
+    # reference and every later reader raises on the missing parquet.
+    # Pass tombstone_grace_s=0 explicitly only when no deleter can be
+    # active.
+    t_grace = (
+        max(grace_s, 3600.0)
+        if tombstone_grace_s is None
+        else tombstone_grace_s
+    )
+    t_cutoff = _time.time() - t_grace
     troot = fmt.tombstones_dir(index_dir)
     if os.path.isdir(troot):
         for f in os.listdir(troot):
@@ -585,7 +632,7 @@ def vacuum_segments(
             if f"tombstones/{f}" in listed_tombs:
                 continue
             p = os.path.join(troot, f)
-            if grace_s > 0 and os.path.getmtime(p) > cutoff:
+            if t_grace > 0 and os.path.getmtime(p) > t_cutoff:
                 continue
             os.remove(p)
             removed += 1

@@ -234,9 +234,31 @@ class IndexReader:
         )
 
     def doc_stats(self) -> DataFrame:
-        ds = self.spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
-            fmt.doc_stats_dir(self.index_dir)
-        )
+        """This snapshot's doc_stats — opens exactly the manifest-
+        committed file set (a pinned time-travel reader sees its own
+        snapshot's rows even after a later purge landed replacement
+        files; legacy manifests fall back to the dir scan), minus
+        tombstoned docs."""
+        root = fmt.doc_stats_dir(self.index_dir)
+        files = self.manifest.doc_stats_files
+        if files is not None:
+            if not files:
+                ds = self.spark.createDataFrame(
+                    [], fmt.DOC_STATS_READ_SCHEMA
+                )
+            else:
+                ds = self.spark.read.schema(
+                    fmt.DOC_STATS_READ_SCHEMA
+                ).parquet(
+                    *(
+                        os.path.join(root, p.replace("/", os.sep))
+                        for p in files
+                    )
+                )
+        else:
+            ds = self.spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
+                root
+            )
         t = self.tombstones()
         if t.size:
             # tombstoned docs are gone from every reader surface, not
@@ -343,15 +365,7 @@ def _normalize_queries(queries: Sequence[QuerySpec]) -> List[QuerySpec]:
     return out
 
 
-def _live_mask(d: np.ndarray, tombs: Optional[np.ndarray]) -> Optional[np.ndarray]:
-    """Boolean keep-mask for doc array `d` against the sorted tombstone
-    array (None = keep everything — the common no-deletes fast path
-    allocates nothing)."""
-    if tombs is None or tombs.size == 0 or d.size == 0:
-        return None
-    idx = np.searchsorted(tombs, d)
-    idx_c = np.minimum(idx, tombs.size - 1)
-    return ~((idx < tombs.size) & (tombs[idx_c] == d))
+from ..codec import live_doc_mask as _live_mask, ragged_take_index
 
 
 class _TermPostings:
@@ -459,14 +473,7 @@ class _TermPostings:
             if keep is not None:
                 # drop deleted docs AND their ragged position runs
                 kidx = np.flatnonzero(keep)
-                starts = np.concatenate([[0], np.cumsum(t)])[:-1]
-                lens = t[kidx]
-                out_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
-                take = (
-                    np.arange(int(lens.sum()), dtype=np.int64)
-                    - np.repeat(out_starts, lens)
-                    + np.repeat(starts[kidx], lens)
-                )
+                take = ragged_take_index(t, kidx)
                 d, t, flat = d[kidx], t[kidx], flat[take]
             parts.append((d, t, flat))
         if len(parts) == 1:

@@ -177,6 +177,15 @@ def host_filter(
     (the round-5 behavior — e.g. when the caller already knows the
     cardinality).
 
+    Cache lifetime note: the guard's persist() stays cached for the
+    SparkSession so the join reuses the rollup instead of running it
+    twice (plan-pinned); Spark evicts it LRU under storage pressure,
+    but a long-lived session calling host_filter per micro-batch should
+    either pass broadcast_max_hosts=None (no guard, no cache) or
+    periodically spark.catalog.clearCache() — there is no safe point
+    for this function to unpersist itself without recomputing the
+    rollup for the returned (lazy) join.
+
     Null contract (matches latest_snapshot's pinned semantics): a NULL
     url yields a NULL host, which fails the inner-join equality — null-
     url pages are always dropped. Authority-less URLs (e.g. "mailto:",

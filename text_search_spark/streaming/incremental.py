@@ -146,12 +146,28 @@ def _append_batch_inner(
         fmt.doc_stats_dir(index_dir),
         batch_id,
     )
-    stats = spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
-        fmt.doc_stats_dir(index_dir)
-    ).select(
+    ds_tag = f"batch{batch_id}-"
+    new_ds_files = [
+        p
+        for p in fmt.list_doc_stats_files(index_dir)
+        if os.path.basename(p).startswith(ds_tag)
+    ]
+    # BATCH-ONLY stats (round-6b, review finding): the commit applies
+    # them as DELTAS (m2.n_docs += ...), never as absolute values read
+    # from the doc_stats directory — an absolute dir read races a
+    # concurrent compaction purge (count pre-swap and commit post-purge
+    # re-inflates the stats by the purged docs; the mirror interleaving
+    # double-subtracts). Deltas compose under CAS rebase in ANY
+    # interleaving: the mutate re-runs against the then-latest
+    # committed totals. Retry-stable too — _append_scoped REPLACED any
+    # prior attempt's files, and these numbers come from the batch
+    # data, not the directory.
+    bstats = ds.select(
         F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
     ).first()
-    n_docs, total_tokens = int(stats[0]), int(stats[1])
+    b_docs, b_tokens = int(bstats[0]), int(bstats[1])
+    est_total = man.total_tokens + b_tokens
+    est_docs = man.n_docs + b_docs
 
     # the FIRST batch WITH TOKENS fixes the layout: sizing from an
     # empty/blank leading batch (possible on recovery or a no-data
@@ -167,13 +183,17 @@ def _append_batch_inner(
         # layout and it must never be re-derived (covers pre-flag
         # manifests too)
         man.n_buckets, man.n_shards = _auto_size(
-            max(total_tokens, 1) * 4,  # leave headroom for growth
+            max(est_total, 1) * 4,  # leave headroom for growth
             spark.sparkContext.defaultParallelism,
         )
-    if total_tokens > 0:
+    if est_total > 0:
         man.stages["layout_from_data"] = True
     n_buckets, n_shards = man.n_buckets, man.n_shards
-    batch_avgdl = total_tokens / n_docs if n_docs else 0.0
+    # bm_avgdl stamped on this batch's segment rows: best estimate of
+    # the corpus avgdl at encode time. A racing purge/append makes it
+    # slightly stale, which the per-row bm_avgdl bound correction
+    # absorbs by design (query._TermPostings.max_sat).
+    batch_avgdl = est_total / est_docs if est_docs else 0.0
 
     # one row per (doc, term), positions pre-encoded map-side — the same
     # posting relation the batch builder shuffles (build.grouped_postings)
@@ -264,7 +284,7 @@ def _append_batch_inner(
             # first real commit (or provisional pre-token layout):
             # persist the layout this batch's segment job actually used
             m2.n_buckets, m2.n_shards = n_buckets, n_shards
-        if total_tokens > 0:
+        if m2.total_tokens + b_tokens > 0:
             m2.stages["layout_from_data"] = True
         if m2.segment_files is None:
             # legacy pre-snapshot manifest: initialize the file set
@@ -281,6 +301,17 @@ def _append_batch_inner(
         else:
             prev_files = m2.segment_files
         m2.segment_files = sorted(set(prev_files) | set(new_files))
+        if m2.doc_stats_files is None:
+            prev_ds = [
+                p
+                for p in fmt.committed_doc_stats_legacy(
+                    index_dir, m2.stages
+                )
+                if not os.path.basename(p).startswith(ds_tag)
+            ]
+        else:
+            prev_ds = m2.doc_stats_files
+        m2.doc_stats_files = sorted(set(prev_ds) | set(new_ds_files))
         if not m2.complete and m2.n_docs == 0:
             # brand-new index: stamp the current format. An EXISTING
             # other-version manifest keeps its version so the reader's
@@ -288,9 +319,11 @@ def _append_batch_inner(
             m2.format_version = fmt.FORMAT_VERSION
         if not m2.run_id:
             m2.run_id = f"stream:{batch_id}"
-        m2.n_docs = n_docs
-        m2.total_tokens = total_tokens
-        m2.avgdl = batch_avgdl
+        m2.n_docs += b_docs
+        m2.total_tokens += b_tokens
+        m2.avgdl = (
+            m2.total_tokens / m2.n_docs if m2.n_docs else 0.0
+        )
         m2.stages[f"stream:{batch_id}"] = True
         m2.stages["term_stats"] = False  # stale until rebuild_term_stats
         m2.complete = True
@@ -459,11 +492,28 @@ def upsert_batch(
     ).persist()
     try:
         _append_batch(spark, versioned, index_dir, batch_id)
+        # previous versions come from the COMMITTED doc_stats snapshot
+        # (which now includes this batch's own rows — excluded by the
+        # anti-join on our ids); never a raw dir scan, which could see
+        # another in-flight batch's uncommitted landing files
         ds_dir = fmt.doc_stats_dir(index_dir)
+        man2 = fmt.load_manifest(index_dir)
+        ds_files = man2.doc_stats_files if man2 else None
+        if ds_files is not None:
+            ds = spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
+                *(
+                    os.path.join(ds_dir, p.replace("/", os.sep))
+                    for p in ds_files
+                )
+            ) if ds_files else spark.createDataFrame(
+                [], fmt.DOC_STATS_READ_SCHEMA
+            )
+        else:
+            ds = spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
+                ds_dir
+            )
         old = (
-            spark.read.schema(fmt.DOC_STATS_READ_SCHEMA)
-            .parquet(ds_dir)
-            .join(versioned.select("url"), "url", "leftsemi")
+            ds.join(versioned.select("url"), "url", "leftsemi")
             .join(versioned.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id")
         )
