@@ -215,9 +215,14 @@ def test_sharded_file_list_keeps_manifest_small(
         raw = json.load(f)
     assert raw["segment_files"] is None
     assert raw["segment_files_ref"].startswith("filelists/")
+    # doc_stats file list externalizes past the same cap (round-6b)
+    assert raw["doc_stats_files"] is None
+    assert raw["doc_stats_files_ref"].startswith("filelists/docstats-")
     man = fmt.load_manifest(ix)
     assert man.segment_files is not None and len(man.segment_files) > 2
     assert sorted(man.segment_files) == fmt.list_segment_files(ix)
+    assert sorted(man.doc_stats_files) == fmt.list_doc_stats_files(ix)
+    assert IndexReader(spark, ix).doc_stats().count() == 90
 
     reader = IndexReader(spark, ix)
     per_bucket = [

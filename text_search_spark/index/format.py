@@ -124,7 +124,11 @@ class IndexManifest:
     # compactN- replacement files next to the old ones and this list
     # flips with the commit, so pinned time-travel readers keep a
     # consistent doc_stats view until vacuum. None = legacy dir scan.
+    # Externalized to a filelists/ sidecar past the same inline cap as
+    # segment_files (a 10k-batch stream would otherwise bloat every
+    # manifest JSON); doc_stats_files_ref mirrors segment_files_ref.
     doc_stats_files: Optional[List[str]] = None
+    doc_stats_files_ref: Optional[str] = None
 
 
 # file lists at most this long are inlined in manifest.json; longer
@@ -165,6 +169,12 @@ def latest_snapshot_id(index_dir: str) -> int:
 
 def _manifest_from_dict(index_dir: str, d: dict) -> IndexManifest:
     m = IndexManifest(**d)
+    if m.doc_stats_files_ref is not None and m.doc_stats_files is None:
+        ref = os.path.join(
+            index_dir, m.doc_stats_files_ref.replace("/", os.sep)
+        )
+        with open(ref) as fh:
+            m.doc_stats_files = sorted(json.load(fh))
     if m.segment_files_ref is not None and m.segment_files is None:
         # reconstitute the sharded file list from the per-bucket
         # sidecars (missing dir = empty snapshot was externalized,
@@ -202,6 +212,22 @@ def _externalize_file_list(index_dir: str, m: IndexManifest) -> dict:
     BEFORE the snapshot claim references it (orphans from a lost CAS
     race are expired with their snapshots)."""
     d = asdict(m)
+    ds_files = m.doc_stats_files
+    if ds_files is not None and len(ds_files) > SEGMENT_FILES_INLINE_MAX:
+        token_ds = uuid.uuid4().hex[:12]
+        ref_ds_dir = os.path.join(index_dir, "filelists")
+        os.makedirs(ref_ds_dir, exist_ok=True)
+        tmp = os.path.join(ref_ds_dir, f".tmp-docstats-{token_ds}.json")
+        with open(tmp, "w") as fh:
+            json.dump(sorted(ds_files), fh)
+        os.replace(
+            tmp, os.path.join(ref_ds_dir, f"docstats-{token_ds}.json")
+        )
+        d["doc_stats_files"] = None
+        d["doc_stats_files_ref"] = f"filelists/docstats-{token_ds}.json"
+        m.doc_stats_files_ref = d["doc_stats_files_ref"]
+    else:
+        d["doc_stats_files_ref"] = None
     files = m.segment_files
     if files is None or len(files) <= SEGMENT_FILES_INLINE_MAX:
         d["segment_files_ref"] = None
@@ -426,17 +452,20 @@ def expire_snapshots(
     sids.sort()
     keep_sids = set(sids[-retain_last:])
     live_refs = set()
+
+    def _collect_refs(j: dict) -> None:
+        for k in ("segment_files_ref", "doc_stats_files_ref"):
+            ref = j.get(k)
+            if ref:
+                live_refs.add(ref)
+
     for sid in keep_sids:
         with open(_snapshot_path(index_dir, sid)) as f:
-            ref = json.load(f).get("segment_files_ref")
-        if ref:
-            live_refs.add(ref)
+            _collect_refs(json.load(f))
     p = manifest_path(index_dir)
     if os.path.exists(p):
         with open(p) as f:
-            ref = json.load(f).get("segment_files_ref")
-        if ref:
-            live_refs.add(ref)
+            _collect_refs(json.load(f))
     for sid in sids:
         if sid not in keep_sids:
             os.remove(_snapshot_path(index_dir, sid))
@@ -453,7 +482,10 @@ def expire_snapshots(
                 continue
             if sidecar_grace_s > 0 and os.path.getmtime(tok_path) > cutoff:
                 continue  # possibly an in-flight commit's landing sidecar
-            shutil.rmtree(tok_path, ignore_errors=True)
+            if os.path.isdir(tok_path):
+                shutil.rmtree(tok_path, ignore_errors=True)
+            else:
+                os.remove(tok_path)  # docstats-*.json sidecar file
             removed += 1
     return removed
 
