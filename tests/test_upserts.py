@@ -129,3 +129,47 @@ def test_streaming_upserts_with_in_batch_refetch_collapse(
     assert len(hit) == 1
     # and it's the v2 text (markernewv present for p3)
     assert len(_results(spark, ix, ["markernewv"])) == 1
+
+
+def test_streaming_upserts_auto_compact_purges_versions(spark, tmp_path):
+    """Upsert stream with inline maintenance: the tombstone-fraction
+    trigger purges replaced versions mid-stream, keeping n_docs at the
+    live count and the tombstone list consumed."""
+    src = tmp_path / "ac_src"
+    src.mkdir()
+    schema = "url string, warc_ts timestamp, text string"
+    urls = list(range(20))
+    spark.createDataFrame(_pages(1, urls), schema).coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+    # re-crawl everything: 100% tombstone fraction after batch 1
+    spark.createDataFrame(_pages(2, urls), schema).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+
+    ix = str(tmp_path / "ac_ix")
+    from text_search_spark.streaming.incremental import (
+        incremental_index_upserts,
+    )
+
+    q = incremental_index_upserts(
+        spark,
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*"),
+        ix,
+        str(tmp_path / "ac_ckpt"),
+        ts_col="warc_ts",
+        auto_compact_files=10**6,  # file-count trigger off
+        # 20 dead versions / 40 manifest docs = 0.5; the trigger is
+        # strictly greater-than, so 0.4 fires it
+        auto_compact_tombstone_frac=0.4,
+    )
+    q.awaitTermination(180)
+
+    man = fmt.load_manifest(ix)
+    assert man.tombstone_files is None  # purge consumed them
+    assert any(k.startswith("compact:") for k in man.stages)
+    assert man.n_docs == len(urls)  # dead versions physically gone
+    assert len(_results(spark, ix, ["markernewv"])) == len(urls)
+    assert len(_results(spark, ix, ["markeroldv"])) == 0

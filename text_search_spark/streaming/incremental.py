@@ -529,16 +529,35 @@ def incremental_index_upserts(
     checkpoint_dir: str,
     available_now: bool = True,
     ts_col: Optional[str] = None,
+    auto_compact_files: Optional[int] = None,
+    auto_compact_tombstone_frac: Optional[float] = 0.2,
 ):
     """Streaming upsert maintenance: each micro-batch of re-crawled
     pages replaces its urls' previous versions (upsert_batch). Returns
-    the StreamingQuery. Pair with
-    incremental_index(auto_compact_files=...)-style maintenance by
-    calling merge.maybe_compact alongside, or run it on a schedule —
-    every upsert leaves one tombstoned version behind until a purge."""
-    writer = stream_df.writeStream.foreachBatch(
-        lambda b, bid: upsert_batch(spark, b, index_dir, bid, ts_col=ts_col)
-    ).option("checkpointLocation", checkpoint_dir)
+    the StreamingQuery.
+
+    auto_compact_files / auto_compact_tombstone_frac: inline
+    maintenance after each batch (merge.maybe_compact) — especially
+    relevant here, where EVERY re-crawl leaves one tombstoned version
+    behind: the tombstone-fraction trigger is what keeps a long-lived
+    upsert stream's dead-posting volume (and per-query mask) bounded
+    without an external job."""
+
+    def _on_batch(b, bid):
+        upsert_batch(spark, b, index_dir, bid, ts_col=ts_col)
+        if auto_compact_files is not None:
+            from ..index.merge import maybe_compact
+
+            maybe_compact(
+                spark,
+                index_dir,
+                max_files_per_bucket=auto_compact_files,
+                max_tombstone_frac=auto_compact_tombstone_frac,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(_on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
