@@ -77,3 +77,60 @@ def test_submit_build_cli(spark, tmp_path, monkeypatch):
     assert man is not None and man.complete and man.n_docs == 80
     rows = bm25_topk_rows(spark, ix, [QuerySpec("q", ["ALPHA"], "or")], k=3)
     assert len(rows) == 3
+
+
+def test_submit_maintain_cli(spark, tmp_path, monkeypatch):
+    """The lifecycle ops script: delete -> compact(purge) -> history ->
+    expire -> vacuum, all through the CLI surface (in-process, shared
+    session)."""
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    src = str(tmp_path / "corpus.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(60)),
+            "url": [f"https://x.example/p{i}" for i in range(60)],
+            "text": [f"alpha beta w{i % 7} gamma" for i in range(60)],
+        }
+    ).to_parquet(src)
+    ix = str(tmp_path / "m_ix")
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import submit_build
+        import submit_maintain
+
+        def run(script, argv):
+            old = sys.argv
+            sys.argv = [script.__name__ + ".py"] + argv
+            try:
+                script.main()
+            finally:
+                sys.argv = old
+
+        run(submit_build, [
+            "--input", src, "--index", ix, "--doc-id-col", "doc_id",
+            "--n-buckets", "4", "--n-shards", "2", "--bucket-groups", "2",
+        ])
+        ids = str(tmp_path / "takedowns.parquet")
+        pd.DataFrame({"doc_id": list(range(0, 60, 3))}).to_parquet(ids)
+        run(submit_maintain, ["--index", ix, "delete", "--ids-parquet", ids])
+        run(submit_maintain, ["--index", ix, "compact"])
+        run(submit_maintain, ["--index", ix, "expire", "--retain-last", "1"])
+        run(submit_maintain, [
+            "--index", ix, "vacuum", "--grace-s", "0", "--retain-last", "1",
+        ])
+        run(submit_maintain, ["--index", ix, "history"])
+    finally:
+        sys.path.pop(0)
+
+    from text_search_spark.index import format as ixfmt
+    from text_search_spark.index.query import QuerySpec, bm25_topk_rows
+
+    man = ixfmt.load_manifest(ix)
+    assert man.n_docs == 40 and man.tombstone_files is None
+    rows = bm25_topk_rows(spark, ix, [QuerySpec("q", ["alpha"], "or")], k=60)
+    assert {r[2] for r in rows} == {i for i in range(60) if i % 3 != 0}

@@ -480,6 +480,9 @@ def compact_in_place(
             m2.avgdl = (
                 m2.total_tokens / m2.n_docs if m2.n_docs > 0 else 0.0
             )
+            # derived df/cf changed with the purge — same staleness
+            # marker the append commit uses
+            m2.stages["term_stats"] = False
 
     fmt.commit_manifest(index_dir, _commit)
 
