@@ -155,6 +155,20 @@ class IndexReader:
                 f"engine scores with k1={K1} b={B} (codec.K1/B) — "
                 "block-max bounds would not match the scorer"
             )
+        if m.segment_files is None and os.path.isdir(
+            fmt.segments_dir(self.index_dir)
+        ):
+            # legacy pre-snapshot manifest on a LOCAL filesystem: pin
+            # the committed-stage file walk so every reader path opens
+            # exactly the committed set — a raw directory scan would
+            # adopt landed-but-never-committed batchN-/compactN- orphans
+            # from a crashed append/compaction, which the maintenance
+            # paths (merge/incremental) deliberately exclude. Non-local
+            # roots keep None: the walk cannot see them, and the
+            # Spark-scan branches (which CAN read URIs) take over.
+            m.segment_files = fmt.committed_files_legacy(
+                self.index_dir, m.stages
+            )
         return m
 
     def refresh(self) -> None:
@@ -325,6 +339,18 @@ class IndexReader:
                 if flist:
                     sources.append(flist)
             else:
+                # legacy manifest AND non-local root (a local legacy
+                # root was pinned to a file list by _load_validated):
+                # os.path.isdir is False for every URI, so continuing
+                # would silently return {} and cache df=0 for every
+                # term — raise into the Spark-scan fallback instead,
+                # which reads URIs fine
+                if not os.path.isdir(seg_root):
+                    raise FileNotFoundError(
+                        f"{seg_root} is not a local directory — "
+                        "sidecar scan unavailable for a non-local "
+                        "legacy index"
+                    )
                 d = os.path.join(seg_root, f"term_bucket={b}")
                 if os.path.isdir(d):
                     sources.append(d)
@@ -482,15 +508,8 @@ class _TermPostings:
         t = np.concatenate([p[1] for p in parts])
         order = np.argsort(d, kind="stable")
         # reorder ragged position segments to the sorted doc order
-        all_t = t
-        seg_starts = np.concatenate([[0], np.cumsum(all_t)])[:-1]
         flat_all = np.concatenate([p[2] for p in parts])
-        take = np.concatenate(
-            [
-                np.arange(seg_starts[i], seg_starts[i] + all_t[i])
-                for i in order
-            ]
-        ) if order.size else np.empty(0, np.int64)
+        take = ragged_take_index(t, order)
         return d[order], t[order], flat_all[take]
 
 
@@ -655,15 +674,7 @@ def _near_docs(
         d, tf, flat = dec[t]
         idx = np.searchsorted(d, docs)  # docs ⊆ d per the intersection
         lens = tf[idx]
-        starts = np.concatenate([[0], np.cumsum(tf)])[:-1]
-        tot = int(lens.sum())
-        out_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
-        gather = (
-            np.arange(tot, dtype=np.int64)
-            - np.repeat(out_starts, lens)
-            + np.repeat(starts[idx], lens)
-        )
-        pos_v = flat[gather]
+        pos_v = flat[ragged_take_index(tf, idx)]
         pos_parts.append((pos_v, np.repeat(np.arange(docs.size), lens)))
         if pos_v.size:
             max_pos = max(max_pos, int(pos_v.max()))
@@ -872,7 +883,6 @@ DRIVER_SCORE_MAX_POSTINGS = 4_000_000
 def _score_single_term_local(
     reader: "IndexReader",
     qplan: Dict[int, List[Tuple[str, float]]],
-    blist: List[int],
     avgdl: float,
     k: int,
     phase_sink: Optional[Dict[str, float]] = None,
@@ -916,6 +926,12 @@ def _score_single_term_local(
                     continue
                 src = flist  # manifest-committed snapshot file set
             else:
+                if not os.path.isdir(seg_root):
+                    raise FileNotFoundError(
+                        f"{seg_root} is not a local directory — "
+                        "driver sidecar scoring unavailable for a "
+                        "non-local legacy index"
+                    )
                 src = os.path.join(seg_root, f"term_bucket={b}")
                 if not os.path.isdir(src):
                     continue
@@ -1077,15 +1093,27 @@ def bm25_topk_rows(
         if total_df <= DRIVER_SCORE_MAX_POSTINGS:
             # small pruned volume (known exactly from df): read the
             # posting rows through the pyarrow sidecar and score on the
-            # driver — NO Spark job at all (~ms, the real latency path)
+            # driver — NO Spark job at all (~ms, the real latency path).
+            # Fallback is for ENVIRONMENTAL failures only (non-local
+            # fs, missing pyarrow handler) — a genuine defect (codec
+            # corruption, bad manifest) must surface, not silently
+            # downgrade to the Spark path; the failed attempt's partial
+            # phase timings are rolled back so triage numbers stay
+            # attributable.
+            import pyarrow as _pa
+
+            saved = dict(phase_sink) if phase_sink is not None else None
             try:
                 rows_iter = _score_single_term_local(
-                    r, qplan, blist, avgdl, k, phase_sink=phase_sink
+                    r, qplan, avgdl, k, phase_sink=phase_sink
                 )
                 if phase_sink is not None:
                     phase_sink["path"] = "driver_sidecar"
-            except Exception:
+            except (OSError, NotImplementedError, _pa.ArrowException):
                 rows_iter = None
+                if phase_sink is not None:
+                    phase_sink.clear()
+                    phase_sink.update(saved)
         if rows_iter is None:
             # big terms / non-local fs: shuffle-free scan-stage scoring
             # (segment rows are doc-disjoint per term -> exact)
@@ -1109,7 +1137,7 @@ def bm25_topk_rows(
                 phase_sink["path"] = "scan_stage"
     else:
         cand = _shard_topk_candidates(
-            spark, index_dir, queries, k, reader or r, prune
+            spark, index_dir, queries, k, r, prune
         )
         if cand is None:
             return []
