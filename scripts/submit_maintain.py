@@ -4,27 +4,59 @@ surface of the snapshot machinery (compaction, vacuum, history, deletes,
 time travel):
 
   spark-submit --py-files tss.zip scripts/submit_maintain.py \
-      --index s3://bucket/ix compact [--factor 2]
+      --index /shared/indexes/ix compact [--factor 2]
   ... vacuum [--grace-s 3600] [--retain-last 1]
   ... expire [--retain-last 2]
-  ... delete --ids-parquet s3://bucket/takedowns [--id-col doc_id]
+  ... delete --ids-parquet /data/takedowns.parquet [--id-col doc_id]
   ... history
+
+--index must be a LOCAL (or locally-mounted, e.g. NFS/fuse) path:
+manifest, snapshot-claim, tombstone, and vacuum IO go through os-level
+primitives (the CAS claim is an atomic hardlink — see
+index/format.py's backend note). An object-store URI (s3://, gs://,
+...) is rejected at startup rather than silently creating a LOCAL
+'s3:/bucket/...' directory and reporting a takedown applied that never
+touched the real index. --ids-parquet MAY be any Spark-readable URI —
+it is read by Spark, not os APIs.
 
 Every mutating subcommand commits through the optimistic-CAS protocol
 (index/format.py), so it is safe to run while an indexing or upsert
-stream is live — the documented one-at-a-time constraint applies only
-to concurrent COMPACTIONS.
+stream is live — concurrent COMPACTIONS are one-at-a-time, enforced by
+an atomic generation lock (the second run fails loudly).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import re
+import sys
+
+
+def _require_local_index(path: str) -> str:
+    """Reject URI-scheme index paths: every manifest/tombstone/vacuum
+    op here uses local os APIs, so 's3://bucket/ix' would silently
+    operate on a fresh LOCAL directory named 's3:/bucket/ix' (takedowns
+    reported applied but not applied; vacuum/expire no-op). 'file://'
+    is accepted and stripped; Windows drive letters ('C:/...') pass."""
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", path)
+    if m is None:
+        return path
+    if m.group(1).lower() == "file":
+        return "/" + m.group(2).lstrip("/") if m.group(2) else "/"
+    sys.exit(
+        f"error: --index {path!r} has URI scheme {m.group(1)!r}, but "
+        "index maintenance IO is local-filesystem only (atomic-hardlink "
+        "CAS claims; see index/format.py). Mount the store locally or "
+        "run maintenance where the index directory is a real path."
+    )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--index", required=True, help="index directory")
+    ap.add_argument("--index", required=True,
+                    help="index directory (local/mounted path; URI "
+                         "schemes other than file:// are rejected)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("compact", help="in-place compaction (+ purge)")
@@ -46,6 +78,7 @@ def main() -> None:
     sub.add_parser("history", help="list retained snapshots")
 
     args = ap.parse_args()
+    args.index = _require_local_index(args.index)
 
     from text_search_spark.index import format as fmt
 

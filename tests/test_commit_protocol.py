@@ -134,6 +134,43 @@ def test_compaction_racing_append_keeps_batch(spark, tmp_path, monkeypatch):
     assert man.n_docs == 120
 
 
+def test_concurrent_compaction_fails_loudly(spark, tmp_path):
+    """Round-7 ADVICE fix: two compactions of the same snapshot compute
+    the same generation prefix; without a claim, each one's stray
+    cleanup deletes the other's landing files and the survivor commits
+    a snapshot referencing deleted files. Pinned: the second claim
+    raises RuntimeError BEFORE any cleanup, and a stale claim (dead
+    owner pid, same host) is broken so crash-rerun still works."""
+    ix = str(tmp_path / "locked")
+    for bid in range(2):
+        _append_batch(spark, _batch_df(spark, bid), ix, batch_id=bid)
+
+    from text_search_spark.index.merge import _claim_compaction_lock
+
+    # simulate a LIVE concurrent compaction: claim gen 0 as ourselves
+    # (our own pid is alive, so the stale-breaker must NOT fire)
+    lock = _claim_compaction_lock(ix, 0)
+    with pytest.raises(RuntimeError, match="one-at-a-time"):
+        compact_in_place(spark, ix)
+    # the held claim blocked it before landing anything
+    assert not any(
+        f.startswith("compact0-")
+        for _, _, fs in os.walk(fmt.segments_dir(ix))
+        for f in fs
+    )
+
+    # simulate a CRASHED compaction: rewrite the lock with a dead pid
+    with open(lock, "w") as fh:
+        fh.write(f"999999999@{__import__('socket').gethostname()}")
+    compact_in_place(spark, ix)  # breaks the stale claim and proceeds
+    man = fmt.load_manifest(ix)
+    assert man.stages.get("compact:0")
+    assert not os.path.exists(lock), "lock released after success"
+    assert _doc_ids(spark, ix, "alpha") == {
+        1000 * b + i for b in range(2) for i in range(30)
+    }
+
+
 def test_append_racing_compaction_keeps_both(spark, tmp_path, monkeypatch):
     """Reverse interleaving: a compaction commits while an append is
     between landing its files and committing. The append's mutate

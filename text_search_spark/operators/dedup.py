@@ -575,7 +575,10 @@ def dedup_resolve(
         .select(
             "doc_id",
             F.coalesce("component", F.col("doc_id")).alias("component"),
-            F.length("_t").alias("_len"),
+            # NULL text must always LOSE canonical selection: a bare
+            # length(NULL) = NULL sorts FIRST inside min(struct), which
+            # would crown an empty copy over real text.
+            F.coalesce(F.length("_t"), F.lit(-1)).alias("_len"),
         )
     )
     canon = labeled.groupBy("component").agg(
