@@ -441,22 +441,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4-row bands (collision prob s^4 per band), where candidate
         # pairs are actual near-duplicates, not same-language
         # vocabulary overlap
-        # recover_capped=False: the DuckDB oracle models the pure cap
-        # semantics (WHERE bsz <= 1000); the round-6 chunk-clique+bridge
-        # recovery is order-dependent (secondary-sort chunking) and is
-        # gated by tests/test_components.py + the 400k-page bench
-        # instead — leaving it on here would diverge from the oracle the
-        # first time a scale factor grows a >1000-member bucket
+        # recover_capped=False on 'term'/'shingle3': those variants'
+        # oracles model the pure cap semantics (WHERE bsz <= 1000).
+        # 'term_rec8' (round-7, VERDICT item 3) gates the round-6
+        # chunk-clique+bridge RECOVERY itself: max_bucket=8 forces the
+        # term config's same-language vocabulary buckets over the cap
+        # even at sf0.01, and the DuckDB oracle reproduces the exact
+        # expansion (sort members by (sec, id), window into chunks of
+        # 8, clique within chunk, bridge chunk heads to chunk 0's head)
+        # — the recovery order is deterministic because (sec, id) is
+        # unique per bucket and both engines compare md5 hex strings
+        # identically (functions/text.py:21).
         docs = _t(spark, sf_dir, "documents")
+        sigs_term = dedup.minhash_signatures(docs)
         term = dedup.lsh_candidate_pairs(
-            dedup.minhash_signatures(docs), recover_capped=False
+            sigs_term, recover_capped=False
         ).withColumn("variant", F.lit("term"))
+        rec8 = dedup.lsh_candidate_pairs(
+            sigs_term, max_bucket=8, recover_capped=True
+        ).withColumn("variant", F.lit("term_rec8"))
         sh3 = dedup.lsh_candidate_pairs(
             dedup.minhash_signatures(docs, shingle_n=3),
             rows_per_band=4,
             recover_capped=False,
         ).withColumn("variant", F.lit("shingle3"))
-        return term.unionByName(sh3)
+        return term.unionByName(rec8).unionByName(sh3)
 
     q["lsh_pairs"] = lsh_pairs
 
@@ -1396,6 +1405,14 @@ SELECT big.bigram, doc_id, CAST(pos AS INTEGER) AS pos FROM big JOIN top ON big.
         f"AS bucket FROM sigs"
         for b in range(dedup.NUM_MINHASHES // 2)
     )
+    # same bands plus the secondary slot OUTSIDE the band (next slot,
+    # mod num_hashes) — dedup._band_buckets's `sec`, which orders the
+    # capped-bucket recovery's chunking (round-7, VERDICT item 3)
+    bands_sec_sql = " UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) "
+        f"AS bucket, h{(2*b + 2) % dedup.NUM_MINHASHES} AS sec FROM sigs"
+        for b in range(dedup.NUM_MINHASHES // 2)
+    )
     shingled_bands = " UNION ALL ".join(
         f"SELECT doc_id AS id, {b} AS band, "
         f"md5(h{4*b} || '|' || h{4*b+1} || '|' || h{4*b+2} || '|' || "
@@ -1410,6 +1427,27 @@ sigs_t AS (SELECT doc_id, {mh_cols} FROM dt GROUP BY doc_id),
 bands_t AS (WITH sigs AS (SELECT * FROM sigs_t) {bands_sql}),
 sized_t AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
           FROM bands_t),
+bands_r AS (WITH sigs AS (SELECT * FROM sigs_t) {bands_sec_sql}),
+ord_r AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz,
+          row_number() OVER (PARTITION BY band, bucket
+                             ORDER BY sec, id) AS rn
+          FROM bands_r),
+big_r AS (SELECT band, bucket, id, rn, (rn - 1) // 8 AS chunk
+          FROM ord_r WHERE bsz > 8),
+heads_r AS (SELECT band, bucket, chunk, id FROM big_r
+            WHERE (rn - 1) % 8 = 0),
+rec_pairs AS (
+  SELECT a.id AS x, b.id AS y FROM ord_r a JOIN ord_r b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.rn < b.rn
+  WHERE a.bsz <= 8 AND b.bsz <= 8
+  UNION ALL
+  SELECT a.id, b.id FROM big_r a JOIN big_r b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.chunk = b.chunk AND a.rn < b.rn
+  UNION ALL
+  SELECT h0.id, hc.id FROM heads_r h0 JOIN heads_r hc
+    ON h0.band = hc.band AND h0.bucket = hc.bucket
+   AND h0.chunk = 0 AND hc.chunk > 0),
 sh3 AS (SELECT DISTINCT a.doc_id,
         a.term || ' ' || b.term || ' ' || c.term AS term
   FROM toks a
@@ -1423,6 +1461,10 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b, 'term' AS variant
 FROM (SELECT * FROM sized_t WHERE bsz <= 1000) a
 JOIN (SELECT * FROM sized_t WHERE bsz <= 1000) b
   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+UNION ALL
+SELECT DISTINCT least(x, y) AS id_a, greatest(x, y) AS id_b,
+       'term_rec8' AS variant
+FROM rec_pairs
 UNION ALL
 SELECT DISTINCT a.id AS id_a, b.id AS id_b, 'shingle3' AS variant
 FROM (SELECT * FROM sized_s WHERE bsz <= 1000) a

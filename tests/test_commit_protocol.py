@@ -357,3 +357,169 @@ def test_expire_snapshots_bounds_history(tmp_path):
     # newest state still loads intact
     m = fmt.load_manifest(ix)
     assert all(m.stages.get(f"s{i}") for i in range(6))
+
+
+# ---- round-7 (VERDICT item 6): the commit-backend seam ----
+# The protocol must depend ONLY on the CommitBackend contract (atomic
+# claim / LWW put / read / delete / list), never on os.link or any
+# other local-FS fact — so an in-memory mock (the shape of an S3
+# conditional-PUT backend) must carry the same interleavings the
+# local backend does, with ZERO metadata files appearing on disk.
+
+
+class _MemBackend(fmt.CommitBackend):
+    """In-memory metadata store with compare-and-claim semantics —
+    models `PUT If-None-Match: *`."""
+
+    def __init__(self):
+        import threading
+
+        self.store = {}
+        self.mu = threading.Lock()
+        self.n_claims = 0
+        self.n_lost = 0
+
+    def claim(self, path, payload):
+        with self.mu:
+            self.n_claims += 1
+            if path in self.store:
+                self.n_lost += 1
+                return False
+            self.store[path] = payload
+            return True
+
+    def put(self, path, payload):
+        with self.mu:
+            self.store[path] = payload
+
+    def read(self, path):
+        with self.mu:
+            return self.store.get(path)
+
+    def delete(self, path):
+        with self.mu:
+            self.store.pop(path, None)
+
+    def list_snapshot_ids(self, snap_dir):
+        import re as _re
+
+        with self.mu:
+            return sorted(
+                int(m.group(1))
+                for p in self.store
+                if os.path.dirname(p) == snap_dir
+                and (m := _re.fullmatch(
+                    r"v(\d+)\.json", os.path.basename(p)))
+            )
+
+
+@pytest.fixture
+def mem_backend():
+    b = _MemBackend()
+    prev = fmt.set_commit_backend(b)
+    try:
+        yield b
+    finally:
+        fmt.set_commit_backend(prev)
+
+
+def test_mock_backend_cas_rebase(tmp_path, mem_backend):
+    """The CAS-rebase interleaving, metadata entirely in the mock: the
+    loser's claim returns False (no EEXIST anywhere), it rebases, both
+    writers' changes land — and the real snapshots/ dir never exists."""
+    ix = str(tmp_path / "mem_cas")
+    fmt.save_manifest(
+        ix,
+        fmt.IndexManifest(
+            format_version=fmt.FORMAT_VERSION, complete=True,
+            segment_files=[],
+        ),
+    )
+    base_sid = fmt.load_manifest(ix).snapshot_id
+    calls = {"n": 0}
+
+    def writer_a(m):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            fmt.commit_manifest(
+                ix, lambda mb: mb.stages.__setitem__("b", True)
+            )
+        m.stages["a"] = True
+
+    fmt.commit_manifest(ix, writer_a)
+    assert calls["n"] == 2 and mem_backend.n_lost == 1
+    final = fmt.load_manifest(ix)
+    assert final.stages.get("a") and final.stages.get("b")
+    assert final.snapshot_id == base_sid + 2
+    assert not os.path.exists(fmt.snapshots_dir(ix)), (
+        "metadata leaked to local FS past the backend seam"
+    )
+    assert not os.path.exists(fmt.manifest_path(ix))
+
+
+def test_mock_backend_claim_is_commit_point(tmp_path, mem_backend):
+    """Pointer-less claim (simulated crash between claim and pointer
+    put) is already committed through the mock; expire_snapshots
+    deletes through the mock."""
+    ix = str(tmp_path / "mem_claim")
+    fmt.save_manifest(
+        ix, fmt.IndexManifest(format_version=fmt.FORMAT_VERSION, n_docs=1)
+    )
+    m = fmt.load_manifest(ix)
+    sid = m.snapshot_id + 1
+    m.snapshot_id = sid
+    m.n_docs = 42
+    assert mem_backend.claim(
+        fmt._snapshot_path(ix, sid),
+        json.dumps(fmt._externalize_file_list(ix, m)),
+    )
+    got = fmt.load_manifest(ix)
+    assert got.n_docs == 42 and got.snapshot_id == sid
+    assert fmt.load_snapshot(ix, sid).n_docs == 42  # time travel too
+    assert fmt.expire_snapshots(ix, retain_last=1) == 1
+    assert fmt.load_snapshot(ix, sid - 1) is None
+    assert fmt.load_manifest(ix).n_docs == 42
+
+
+def test_mock_backend_compaction_racing_append(
+    spark, tmp_path, mem_backend, monkeypatch
+):
+    """The round-5 lost-update interleaving end-to-end through the
+    mock: data files (parquet) on local disk as Spark wrote them,
+    EVERY metadata op through the mem store. Both writers' files are
+    in the final snapshot and queries answer in full."""
+    import text_search_spark.index.merge as merge_mod
+
+    ix = str(tmp_path / "mem_race")
+    for bid in range(2):
+        _append_batch(spark, _batch_df(spark, bid), ix, batch_id=bid)
+
+    real_commit = fmt.commit_manifest
+    fired = {"done": False}
+
+    def inject_append_then_commit(index_dir, mutate, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            _append_batch(spark, _batch_df(spark, 2), ix, batch_id=2)
+        return real_commit(index_dir, mutate, **kw)
+
+    monkeypatch.setattr(
+        merge_mod.fmt, "commit_manifest", inject_append_then_commit
+    )
+    compact_in_place(spark, ix)
+    monkeypatch.undo()
+
+    man = fmt.load_manifest(ix)
+    # (the racing append commits before the compaction's claim loop
+    # loads, so the rebase is the fresh load — no claim is lost here;
+    # the lost-claim path is pinned by test_mock_backend_cas_rebase)
+    assert fired["done"] and mem_backend.n_claims >= 4
+    names = [os.path.basename(p) for p in man.segment_files]
+    assert any(n.startswith("batch2-") for n in names), "append lost!"
+    assert any(n.startswith("compact0-") for n in names)
+    assert _doc_ids(spark, ix, "alpha") == {
+        1000 * b + i for b in range(3) for i in range(30)
+    }
+    assert not os.path.exists(fmt.manifest_path(ix)), (
+        "pointer bypassed the backend"
+    )

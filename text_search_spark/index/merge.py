@@ -170,6 +170,11 @@ def _splice_fn(avgdl: float, tombs=None):
     ]
 
     def splice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # tombs may arrive as a pyspark Broadcast (compact_in_place
+        # ships the purge set once per executor via TorrentBroadcast
+        # instead of re-pickling it into every task closure — at 100M
+        # tombstoned ids that is 800 MB per TASK otherwise)
+        tombs_arr = tombs.value if hasattr(tombs, "value") else tombs
         cur_key = None
         cur_rows: List[tuple] = []
         cur_meta = None
@@ -178,7 +183,7 @@ def _splice_fn(avgdl: float, tombs=None):
         def flush():
             if cur_key is None:
                 return
-            merged = _merge_rows(cur_rows, avgdl, tombs)
+            merged = _merge_rows(cur_rows, avgdl, tombs_arr)
             if merged is None:
                 return  # every doc of this group was tombstoned
             dfp, cfp, postings, positions, blockmax = merged
@@ -413,12 +418,21 @@ def _compact_in_place_locked(
     # is naturally idempotent: the unflipped manifest still pins the
     # base list, so the stats delta recomputes identically and the
     # same-generation strays are cleaned first (below, with segments).
-    from .delete import load_tombstones
+    # Purge-tier note (round-7): the splice needs per-task membership
+    # tests against the tombstone union, so the union is loaded ONCE
+    # driver-side and shipped as a TorrentBroadcast (one copy per
+    # executor — never re-pickled per task). That holds to ~10^8-10^9
+    # ids (0.8-8 GB); beyond it the right answer is not a cleverer
+    # compaction but a REBUILD of the surviving corpus (at that delete
+    # fraction a rebuild reads less data than a purge re-encode). The
+    # query paths have no such ceiling — they cogroup (query.py).
+    from .delete import TOMBSTONE_DRIVER_MAX, load_tombstones
 
     tomb_files_consumed = list(man.tombstone_files or [])
     tombs = load_tombstones(index_dir, man) if tomb_files_consumed else None
     if tombs is not None and tombs.size == 0:
         tombs = None
+    tombs_big = tombs is not None and tombs.size > TOMBSTONE_DRIVER_MAX
     ds_dir = fmt.doc_stats_dir(index_dir)
     if man.doc_stats_files is None:
         man.doc_stats_files = fmt.committed_doc_stats_legacy(
@@ -444,9 +458,13 @@ def _compact_in_place_locked(
                 for rel in tomb_files_consumed
             )
         ).select("doc_id").distinct()
+        if not tombs_big:
+            # small purge set: force the broadcast (skips the stats
+            # side's map-stage shuffle write); big sets let AQE choose
+            tomb_df = F.broadcast(tomb_df)
         row = (
             _ds_base_df()
-            .join(F.broadcast(tomb_df), "doc_id", "leftsemi")
+            .join(tomb_df, "doc_id", "leftsemi")
             .agg(
                 F.count("*").alias("n"),
                 F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tok"),
@@ -467,7 +485,11 @@ def _compact_in_place_locked(
         avgdl=new_avgdl,
         n_buckets=man.n_buckets,
         s_new=s_new,
-        tombs=tombs,
+        tombs=(
+            spark.sparkContext.broadcast(tombs)
+            if tombs is not None
+            else None
+        ),
     )
     if one_file_per_bucket:
         merged = merged.repartition(
@@ -508,7 +530,7 @@ def _compact_in_place_locked(
         shutil.rmtree(ds_tmp, ignore_errors=True)
         (
             _ds_base_df()
-            .join(F.broadcast(tomb_df), "doc_id", "left_anti")
+            .join(tomb_df, "doc_id", "left_anti")  # hinted iff small
             .write.mode("overwrite")
             .parquet(ds_tmp)
         )
@@ -615,18 +637,12 @@ def vacuum_segments(
     # doc_stats dir: a None here means "retain everything" below
     legacy_ds = man.doc_stats_files is None
     listed_ds = set(man.doc_stats_files or [])
-    snaps_dir = fmt.snapshots_dir(index_dir)
-    if retain_last > 0 and os.path.isdir(snaps_dir):
-        import json as _json
-
-        sids = sorted(
-            int(m.group(1))
-            for f in os.listdir(snaps_dir)
-            if (m := _re.fullmatch(r"v(\d+)\.json", f))
-        )
+    if retain_last > 0:
+        sids = fmt.list_snapshot_ids(index_dir)
         for sid in sids[-retain_last:]:
-            with open(os.path.join(snaps_dir, f"v{sid:012d}.json")) as fh:
-                d = _json.load(fh)
+            d = fmt.read_snapshot_dict(index_dir, sid)
+            if d is None:  # expired between list and read
+                continue
             m2 = fmt._manifest_from_dict(index_dir, d)
             listed.update(m2.segment_files or [])
             listed_tombs.update(m2.tombstone_files or [])

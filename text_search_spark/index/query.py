@@ -177,6 +177,7 @@ class IndexReader:
         self._df_cache.clear()
         self._segments_df = None
         self._tombstones = None
+        self._tomb_bound = None
         # a new snapshot may have appended segment rows to ANY term
         self._postings_cache.clear()
         self._postings_cache_size = 0
@@ -194,6 +195,36 @@ class IndexReader:
             t = load_tombstones(self.index_dir, self.manifest)
             self._tombstones = t
         return t
+
+    def tombstone_rows_bound(self) -> int:
+        """Upper bound on this snapshot's tombstoned-id count, from
+        parquet footers only (cached; no id is ever read). This is THE
+        regime gate (round-7, VERDICT item 2): at or under
+        delete.TOMBSTONE_DRIVER_MAX every query path uses the driver
+        numpy union (lowest latency); above it no path materializes
+        ids on the driver — scoring cogroups tombstones with the
+        segment scan, doc_stats anti-joins executor-side."""
+        b = getattr(self, "_tomb_bound", None)
+        if b is None:
+            from .delete import tombstone_rows_bound
+
+            b = tombstone_rows_bound(self.index_dir, self.manifest)
+            self._tomb_bound = b
+        return b
+
+    def tombstones_distributed(self) -> bool:
+        """True when this snapshot's tombstones exceed the driver
+        regime (see tombstone_rows_bound)."""
+        from .delete import TOMBSTONE_DRIVER_MAX
+
+        return self.tombstone_rows_bound() > TOMBSTONE_DRIVER_MAX
+
+    def tombstones_df(self) -> Optional[DataFrame]:
+        """This snapshot's tombstoned ids as DataFrame(doc_id long);
+        None when it has none. Executor-side twin of tombstones()."""
+        from .delete import tombstones_df
+
+        return tombstones_df(self.spark, self.index_dir, self.manifest)
 
     def segments(self) -> DataFrame:
         # reuse one DataFrame across queries: the file listing + parquet
@@ -273,14 +304,20 @@ class IndexReader:
             ds = self.spark.read.schema(fmt.DOC_STATS_READ_SCHEMA).parquet(
                 root
             )
-        t = self.tombstones()
-        if t.size:
-            # tombstoned docs are gone from every reader surface, not
-            # just scoring (compaction purges the rows physically)
-            tomb_df = self.spark.createDataFrame(
-                [(int(x),) for x in t], "doc_id long"
-            )
-            ds = ds.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+        if self.tombstones_distributed():
+            # MASS regime: anti-join the tombstone parquet directly —
+            # ids never touch the driver; AQE picks broadcast vs
+            # shuffle from the measured size at runtime
+            ds = ds.join(self.tombstones_df(), "doc_id", "left_anti")
+        else:
+            t = self.tombstones()
+            if t.size:
+                # tombstoned docs are gone from every reader surface,
+                # not just scoring (compaction purges rows physically)
+                tomb_df = self.spark.createDataFrame(
+                    [(int(x),) for x in t], "doc_id long"
+                )
+                ds = ds.join(F.broadcast(tomb_df), "doc_id", "left_anti")
         return ds
 
     def ids_for(self, terms: Sequence[str]) -> Dict[str, int]:
@@ -715,68 +752,102 @@ def _shard_scorer(
 
     tombs (sorted np.int64, pickled into the UDF closure): tombstoned
     doc_ids every decode excludes. Ships with the task like the plan
-    itself — at a tombstone volume where that ever matters, compaction
-    has already purged (delete.py's stated pressure valve)."""
+    itself — correct only in the SMALL-tombstone regime
+    (delete.TOMBSTONE_DRIVER_MAX); above it _shard_topk_candidates
+    switches to _shard_scorer_cogrouped, which receives each shard's
+    tombstones as cogrouped DATA instead of closure bytes."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        has_pos = "positions" in pdf.columns
-        tp: Dict[int, _TermPostings] = {}
-        for i in range(len(pdf)):
-            term = int(pdf["term_id"].iat[i])
-            tp.setdefault(term, _TermPostings(avgdl, tombs)).add(
-                pdf["postings"].iat[i],
-                pdf["positions"].iat[i] if has_pos else b"",
-                pdf["blockmax"].iat[i],
-                pdf["bm_avgdl"].iat[i],
-            )
-        out_q: List[str] = []
-        out_d: List[int] = []
-        out_s: List[float] = []
-        for query_id, mode, terms, idfs, phrase_seq, window in plan:
-            present = [t for t in terms if t in tp]
-            if not present:
-                continue
-            if mode in ("and", "phrase", "near") and len(present) != len(
-                terms
-            ):
-                continue
-            if mode == "and":
-                docs = None
-                for t in terms:
-                    d = tp[t].full()[0]
-                    docs = d if docs is None else np.intersect1d(
-                        docs, d, assume_unique=True
-                    )
-                    if docs.size == 0:
-                        break
-                if docs is None or docs.size == 0:
-                    continue
-            elif mode == "phrase":
-                docs = _phrase_docs(tp, phrase_seq)
-                if docs.size == 0:
-                    continue
-            elif mode == "near":
-                docs = _near_docs(tp, terms, window)
-                if docs.size == 0:
-                    continue
-            elif prune and len(present) > 1:
-                docs = _or_candidates_pruned(terms, idfs, tp, avgdl, k)
-            else:
-                docs = np.unique(
-                    np.concatenate([tp[t].full()[0] for t in present])
-                )
-            if docs.size == 0:
-                continue
-            acc = _canonical_scores(terms, idfs, tp, docs, avgdl)
-            order = np.lexsort((docs, -acc))[:k]
-            out_q.extend([query_id] * order.size)
-            out_d.extend(docs[order].tolist())
-            out_s.extend(acc[order].tolist())
-        return pd.DataFrame(
-            {"query_id": out_q, "doc_id": out_d, "score": out_s}
-        )
+        return _score_shard_pdf(pdf, plan, avgdl, k, prune, tombs)
 
     return score
+
+
+def _shard_scorer_cogrouped(plan, avgdl: float, k: int, prune: bool):
+    """applyInPandas fn for one cogrouped (segments, tombstones) shard
+    group — the MASS-delete twin of _shard_scorer (round-7, VERDICT
+    item 2): each group's tombstoned ids arrive as the right-side
+    DataFrame rows (one shard's slice, ~n_tombs/n_shards ids), so the
+    full union never exists on the driver OR in any task closure.
+    Exclusion still happens inside posting decode, BEFORE the
+    shard-local top-k — identical semantics to the closure path
+    (pinned in tests/test_deletes.py)."""
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        tombs = (
+            np.unique(right["doc_id"].to_numpy(dtype=np.int64, copy=False))
+            if len(right)
+            else None
+        )
+        return _score_shard_pdf(left, plan, avgdl, k, prune, tombs)
+
+    return score
+
+
+def _score_shard_pdf(
+    pdf: pd.DataFrame,
+    plan,
+    avgdl: float,
+    k: int,
+    prune: bool,
+    tombs: Optional[np.ndarray],
+) -> pd.DataFrame:
+    has_pos = "positions" in pdf.columns
+    tp: Dict[int, _TermPostings] = {}
+    for i in range(len(pdf)):
+        term = int(pdf["term_id"].iat[i])
+        tp.setdefault(term, _TermPostings(avgdl, tombs)).add(
+            pdf["postings"].iat[i],
+            pdf["positions"].iat[i] if has_pos else b"",
+            pdf["blockmax"].iat[i],
+            pdf["bm_avgdl"].iat[i],
+        )
+    out_q: List[str] = []
+    out_d: List[int] = []
+    out_s: List[float] = []
+    for query_id, mode, terms, idfs, phrase_seq, window in plan:
+        present = [t for t in terms if t in tp]
+        if not present:
+            continue
+        if mode in ("and", "phrase", "near") and len(present) != len(
+            terms
+        ):
+            continue
+        if mode == "and":
+            docs = None
+            for t in terms:
+                d = tp[t].full()[0]
+                docs = d if docs is None else np.intersect1d(
+                    docs, d, assume_unique=True
+                )
+                if docs.size == 0:
+                    break
+            if docs is None or docs.size == 0:
+                continue
+        elif mode == "phrase":
+            docs = _phrase_docs(tp, phrase_seq)
+            if docs.size == 0:
+                continue
+        elif mode == "near":
+            docs = _near_docs(tp, terms, window)
+            if docs.size == 0:
+                continue
+        elif prune and len(present) > 1:
+            docs = _or_candidates_pruned(terms, idfs, tp, avgdl, k)
+        else:
+            docs = np.unique(
+                np.concatenate([tp[t].full()[0] for t in present])
+            )
+        if docs.size == 0:
+            continue
+        acc = _canonical_scores(terms, idfs, tp, docs, avgdl)
+        order = np.lexsort((docs, -acc))[:k]
+        out_q.extend([query_id] * order.size)
+        out_d.extend(docs[order].tolist())
+        out_s.extend(acc[order].tolist())
+    return pd.DataFrame(
+        {"query_id": out_q, "doc_id": out_d, "score": out_s}
+    )
 
 
 def _shard_topk_candidates(
@@ -837,12 +908,41 @@ def _shard_topk_candidates(
     cols = ["shard", "term_id", "postings", "blockmax", "bm_avgdl"] + (
         ["positions"] if need_pos else []
     )
+    out_schema = "query_id string, doc_id long, score double"
+    if r.tombstones_distributed():
+        # MASS-delete regime: tombstones reach each scorer group as
+        # cogrouped DATA, partitioned by the same doc-shard key the
+        # index uses — never via the driver or task closures. Both
+        # sides group on pmod(·, n_shards) rather than the raw shard
+        # column: n_shards only ever SHRINKS (compaction), so the
+        # current value divides every historical batch's numbering and
+        # the fold sends a doc's segment rows and its tombstone row to
+        # the same group even when an append landed under a pre-
+        # compaction numbering (the "appended docs carry their own
+        # shard numbering" contract in merge.py).
+        ns = man.n_shards
+        sgrp = F.pmod(F.col("shard"), F.lit(ns)).cast("int").alias("sgrp")
+        tomb_sdf = r.tombstones_df().select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(ns))
+            .cast("int")
+            .alias("sgrp"),
+            "doc_id",
+        )
+        return (
+            seg.select(sgrp, *cols)
+            .groupBy("sgrp")
+            .cogroup(tomb_sdf.groupBy("sgrp"))
+            .applyInPandas(
+                _shard_scorer_cogrouped(plan, avgdl, k, prune),
+                schema=out_schema,
+            )
+        )
     return (
         seg.select(*cols)
         .groupBy("shard")
         .applyInPandas(
             _shard_scorer(plan, avgdl, k, prune, tombs=r.tombstones()),
-            schema="query_id string, doc_id long, score double",
+            schema=out_schema,
         )
     )
 
@@ -1061,9 +1161,19 @@ def bm25_topk_rows(
     _t_start = _time.perf_counter() if phase_sink is not None else 0.0
     r = reader or IndexReader(spark, index_dir)
     qs = _normalize_queries(queries)
-    all_single = all(
-        len(set(q.terms)) == 1 and q.mode in ("or", "and") for q in qs
-    ) and len(qs) > 0
+    all_single = (
+        all(
+            len(set(q.terms)) == 1 and q.mode in ("or", "and") for q in qs
+        )
+        and len(qs) > 0
+        # MASS-delete regime: both single-term paths (driver sidecar,
+        # scan-stage closure) need the driver numpy tombstone union —
+        # above the gate they'd materialize it, so the batch routes to
+        # the cogrouped shard path instead (exact, fully distributed;
+        # higher per-query floor, which is the documented trade until
+        # compaction purges)
+        and not r.tombstones_distributed()
+    )
     rows_iter = None
     if all_single:
         all_terms = sorted({t for q in qs for t in q.terms})
