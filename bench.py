@@ -254,7 +254,10 @@ def main() -> None:
             F.posexplode(spark_tokens(F.col("text"))).alias("p", "t")
         ).count(),
     )
-    timed(
+    # the pair count rides along so a seconds shift is attributable to
+    # recall (more pairs emitted — e.g. the round-6 capped-bucket
+    # recovery tripled pairs at the same signatures) vs a regression
+    extra["dedup_minhash_pairs"] = timed(
         "dedup_minhash",
         lambda: dedup.lsh_candidate_pairs(
             dedup.minhash_signatures(docs)

@@ -96,7 +96,18 @@ def child(cores: int) -> None:
     )
     from text_search_spark.session import get_spark
 
-    spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=cores)
+    ui_port = 4040 + cores
+    spark = get_spark(
+        f"scale{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        # the UI's REST API is the per-stage executor-metric source for
+        # the round-7 attribution (shuffle write vs fetch wait vs GC)
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(ui_port),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(CORPUS_PATH)
     corpus = prepare_corpus(pages, url_col="url")
@@ -123,16 +134,74 @@ def child(cores: int) -> None:
     # signal. A production 100 TB build runs for hours and amortizes
     # those costs to zero; steady-state is the honest throughput. The
     # first (cold) time is reported alongside.
+    def _rest(path: str):
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"http://localhost:{ui_port}/api/v1/{path}", timeout=10
+        ) as r:
+            return json.loads(r.read())
+
+    def _max_stage_id() -> int:
+        try:
+            return max(
+                (s["stageId"] for s in _rest(f"applications/{app_id}/stages")),
+                default=-1,
+            )
+        except Exception:
+            return -1
+
+    app_id = spark.sparkContext.applicationId
+
     inner = int(os.environ.get("TSS_SCALE_INNER", "3"))
     runs = []
+    best_stage_wall: dict = {}
+    best_exec: dict = {}
     for j in range(inner):
         ix = f"/tmp/tss_scale_ix_{cores}"
         shutil.rmtree(ix, ignore_errors=True)
+        stage_id0 = _max_stage_id()
+        stage_wall: dict = {}
         t0 = time.perf_counter()
         build_index(
-            spark, corpus, ix, n_buckets=None, n_shards=None, bucket_groups=1
+            spark, corpus, ix, n_buckets=None, n_shards=None,
+            bucket_groups=1, stage_sink=stage_wall,
         )
-        runs.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        runs.append(dt)
+        if dt == min(runs):
+            best_stage_wall = {
+                k: round(v, 3) for k, v in stage_wall.items()
+            }
+            # executor-side attribution for THIS run's Spark stages:
+            # where did hi-core time go that lo-core time didn't —
+            # shuffle write, fetch wait, GC, or non-CPU run time
+            # (scheduler/IO/Python-worker waits)?
+            agg = {
+                "executor_run_s": 0.0,
+                "executor_cpu_s": 0.0,
+                "shuffle_write_s": 0.0,
+                "shuffle_fetch_wait_s": 0.0,
+                "jvm_gc_s": 0.0,
+                "task_count": 0,
+            }
+            try:
+                for s in _rest(
+                    f"applications/{app_id}/stages?status=complete"
+                ):
+                    if s["stageId"] <= stage_id0:
+                        continue
+                    agg["executor_run_s"] += s["executorRunTime"] / 1e3
+                    agg["executor_cpu_s"] += s["executorCpuTime"] / 1e9
+                    agg["shuffle_write_s"] += s["shuffleWriteTime"] / 1e9
+                    agg["shuffle_fetch_wait_s"] += (
+                        s["shuffleFetchWaitTime"] / 1e3
+                    )
+                    agg["jvm_gc_s"] += s["jvmGcTime"] / 1e3
+                    agg["task_count"] += s["numCompleteTasks"]
+                best_exec = {k: round(v, 2) for k, v in agg.items()}
+            except Exception as e:  # REST off/port clash: lose only depth
+                best_exec = {"error": str(e)}
     build_s = min(runs)
     cold_s = runs[0]
 
@@ -164,6 +233,8 @@ def child(cores: int) -> None:
                 "n_buckets": man.n_buckets,
                 "n_shards": man.n_shards,
                 "total_tokens": man.total_tokens,
+                "stage_wall_s": best_stage_wall,
+                "exec_metrics": best_exec,
             }
         )
     )
@@ -197,6 +268,23 @@ def main() -> None:
     ceiling = machine_ceiling()
     tp_lo, tp_hi = best[lo]["docs_per_s"], best[hi]["docs_per_s"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    # per-stage attribution (round-7, VERDICT item 5): for each build
+    # stage, its own lo->hi scaling efficiency and its share of the
+    # lo-level wall — a stage with low efficiency AND high share is THE
+    # bottleneck; uniformly low efficiency across stages names the host
+    sw_lo = best[lo].get("stage_wall_s", {})
+    sw_hi = best[hi].get("stage_wall_s", {})
+    total_lo = sum(sw_lo.values()) or 1.0
+    stage_attr = {
+        k: {
+            "lo_s": sw_lo[k],
+            "hi_s": sw_hi[k],
+            "efficiency": round((sw_lo[k] / sw_hi[k]) / (hi / lo), 3),
+            "share_of_lo": round(sw_lo[k] / total_lo, 3),
+        }
+        for k in sorted(set(sw_lo) & set(sw_hi))
+        if sw_hi.get(k)
+    }
     print(
         json.dumps(
             {
@@ -210,6 +298,7 @@ def main() -> None:
                 "query_batch_speedup": round(
                     best[lo]["query50_s"] / best[hi]["query50_s"], 3
                 ),
+                "stage_attribution": stage_attr,
             }
         )
     )

@@ -129,6 +129,14 @@ class IndexManifest:
     # manifest JSON); doc_stats_files_ref mirrors segment_files_ref.
     doc_stats_files: Optional[List[str]] = None
     doc_stats_files_ref: Optional[str] = None
+    # incremental term_stats (round-7, VERDICT item 7): per-batch df/cf
+    # delta files under term_stats_deltas/, '/'-normalized relative
+    # paths. The committed term_stats view = base table (+) sum of
+    # these deltas, so streamed appends no longer go through
+    # rebuild_term_stats's full segment scan; a rebuild folds the
+    # deltas it consumed back into the base and clears them. None/[] =
+    # base table is the whole view (batch builds, post-rebuild).
+    term_stats_delta_files: Optional[List[str]] = None
 
 
 # file lists at most this long are inlined in manifest.json; longer
@@ -674,6 +682,10 @@ def doc_stats_dir(index_dir: str) -> str:
 
 def term_stats_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "term_stats")
+
+
+def term_stats_deltas_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "term_stats_deltas")
 
 
 def tombstones_dir(index_dir: str) -> str:

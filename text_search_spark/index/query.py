@@ -274,8 +274,37 @@ class IndexReader:
         ]
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.schema(fmt.TERM_STATS_READ_SCHEMA).parquet(
-            fmt.term_stats_dir(self.index_dir)
+        """df/cf per term: the rebuilt base table (+) this snapshot's
+        committed per-batch deltas (round-7 — streamed appends maintain
+        term_stats without rebuild_term_stats's full segment scan). The
+        re-aggregation only exists when deltas do; a batch-built or
+        freshly-rebuilt index reads the base table straight through."""
+        ts_dir = fmt.term_stats_dir(self.index_dir)
+        if os.path.isdir(ts_dir):
+            base = self.spark.read.schema(
+                fmt.TERM_STATS_READ_SCHEMA
+            ).parquet(ts_dir)
+        else:
+            base = self.spark.createDataFrame(
+                [], fmt.TERM_STATS_READ_SCHEMA
+            )
+        deltas = self.manifest.term_stats_delta_files
+        if not deltas:
+            return base
+        dd = fmt.term_stats_deltas_dir(self.index_dir)
+        ddf = self.spark.read.schema(fmt.TERM_STATS_READ_SCHEMA).parquet(
+            *(os.path.join(dd, rel) for rel in deltas)
+        )
+        return (
+            base.unionByName(ddf)
+            .groupBy("term_id")
+            .agg(
+                F.min("term").alias("term"),
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.min("term_bucket").alias("term_bucket"),
+            )
+            .select("term", "term_id", "df", "cf", "term_bucket")
         )
 
     def doc_stats(self) -> DataFrame:

@@ -29,9 +29,12 @@ CRASHES (a retry replaces the batch's files, never duplicates), every
 read is a consistent committed snapshot, and refresh() flips a live
 reader to the newest commit. At 10^12-doc scale the file list lives in
 Iceberg manifest-list files instead of one JSON array; the commit
-protocol is the same. term_stats is NOT maintained per batch (it's
-derived data); call rebuild_term_stats() when a fresh stats table is
-needed.
+protocol is the same. term_stats is maintained incrementally: each
+batch commits a tiny df/cf DELTA file aggregated from its own segment
+rows (round-7), and IndexReader.term_stats serves base (+) deltas, so
+a stream never needs rebuild_term_stats just because it appended —
+the rebuild remains the way to (re)establish the base (first build,
+or after a purge shifted df/cf) and folds consumed deltas into it.
 """
 
 from __future__ import annotations
@@ -244,6 +247,51 @@ def _append_batch_inner(
     new_files = [
         p for p in all_files if os.path.basename(p).startswith(tag)
     ]
+
+    # term_stats DELTA (round-7, VERDICT item 7): aggregate df/cf over
+    # JUST this batch's landed segment rows (already partially summed
+    # per shard by the encoder — this job reads batch-sized data, never
+    # the index) and land it batch-tagged under term_stats_deltas/. The
+    # committed view is base (+) deltas (IndexReader.term_stats), so an
+    # append no longer invalidates term_stats; rebuild_term_stats folds
+    # consumed deltas into a fresh base. Same doc_stats-delta discipline
+    # as round-6: the commit records the delta FILES, never absolute
+    # stats, so append-vs-purge races rebase correctly.
+    ts_delta_rels: list = []
+    if new_files:
+        seg_root = fmt.segments_dir(index_dir)
+        batch_seg = (
+            spark.read.schema(fmt.SEG_READ_SCHEMA)
+            .option("basePath", seg_root)
+            .parquet(
+                *(
+                    os.path.join(seg_root, p.replace("/", os.sep))
+                    for p in new_files
+                )
+            )
+        )
+        ts_delta = (
+            batch_seg.groupBy("term_id", "term_bucket")
+            .agg(
+                F.sum("df_part").alias("df"),
+                F.sum("cf_part").alias("cf"),
+            )
+            .join(vocab, ["term_id", "term_bucket"])
+            .select("term", "term_id", "df", "cf", "term_bucket")
+        )
+        _append_scoped(
+            lambda p: ts_delta.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(p),
+            fmt.term_stats_deltas_dir(index_dir),
+            batch_id,
+        )
+        td = fmt.term_stats_deltas_dir(index_dir)
+        ts_delta_rels = sorted(
+            f
+            for f in os.listdir(td)
+            if f.startswith(tag) and f.endswith(".parquet")
+        )
     # metrics row, batch-scoped like the data files
     import datetime as _dt
 
@@ -325,7 +373,12 @@ def _append_batch_inner(
             m2.total_tokens / m2.n_docs if m2.n_docs else 0.0
         )
         m2.stages[f"stream:{batch_id}"] = True
-        m2.stages["term_stats"] = False  # stale until rebuild_term_stats
+        # term_stats stays VALID across this append: the batch's delta
+        # files join the committed view (base + deltas). A never-built
+        # base (stage False/absent) stays stale until the first rebuild.
+        m2.term_stats_delta_files = sorted(
+            set(m2.term_stats_delta_files or []) | set(ts_delta_rels)
+        )
         m2.complete = True
         return True
 
@@ -402,10 +455,39 @@ def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
         .partitionBy("term_bucket")
         .parquet(fmt.term_stats_dir(index_dir))
     )
+    # the rebuild FOLDED the snapshot's deltas into the new base —
+    # clear exactly those (an append racing this rebuild keeps its own
+    # delta: its segment files were not in man0's scan)
+    consumed = set(
+        (man0.term_stats_delta_files or []) if man0 is not None else []
+    )
+    base_segs = set(
+        (man0.segment_files or []) if man0 is not None else []
+    )
+
     def _mark(m2: "fmt.IndexManifest") -> None:
-        m2.stages["term_stats"] = True
+        if base_segs - set(m2.segment_files or []):
+            # a compaction/purge replaced files the rebuild scanned —
+            # the fresh base may be stale already; leave the flag down
+            # (df/cf is unchanged by a pure merge, but a purge shifts
+            # it, and we can't tell which happened from here)
+            m2.stages["term_stats"] = False
+        else:
+            m2.stages["term_stats"] = True
+        m2.term_stats_delta_files = sorted(
+            set(m2.term_stats_delta_files or []) - consumed
+        ) or None
 
     fmt.commit_manifest(index_dir, _mark)
+    # consumed delta files are unreferenced by the new snapshot —
+    # best-effort physical cleanup (term_stats has never been
+    # time-travel-pinned: the base itself is overwritten in place)
+    td = fmt.term_stats_deltas_dir(index_dir)
+    for rel in consumed:
+        try:
+            os.remove(os.path.join(td, rel))
+        except FileNotFoundError:
+            pass
 
 
 def incremental_deletes(
