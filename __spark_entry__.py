@@ -543,12 +543,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_knn"] = embedding_knn
 
-    def ann_lsh_topk(spark, sf_dir):  # approximate — rows-only check
+    def ann_lsh_topk(spark, sf_dir):
+        # both probe configurations, variant-tagged in one gated entry:
+        # 'single' = classic single-probe; 'probe1' = multi-probe LSH
+        # (round-7) — the query also probes every bucket at Hamming
+        # distance 1 from its signature, recovering neighbors that
+        # disagree on exactly one hyperplane sign. The DuckDB oracle
+        # replays both (xor on the bucket long).
         e = _t(spark, sf_dir, "embeddings")
         qs = e.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
-        return ann.lsh_cosine_topk(e, qs, k=5)
+        single = ann.lsh_cosine_topk(e, qs, k=5).withColumn(
+            "variant", F.lit("single")
+        )
+        probe1 = ann.lsh_cosine_topk(
+            e, qs, k=5, probe_hamming=1
+        ).withColumn("variant", F.lit("probe1"))
+        return single.unionByName(probe1)
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
@@ -2049,19 +2061,32 @@ buckets AS (SELECT vec_id,
   sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
   FROM dots GROUP BY 1),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
-pairs AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id
+qprobes AS (
+  SELECT vec_id, bucket FROM buckets WHERE vec_id < 5
+  UNION ALL
+  SELECT b.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << pp.p)
+  FROM buckets b CROSS JOIN (SELECT DISTINCT p FROM planes) pp
+  WHERE b.vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, 'single' AS variant
   FROM buckets q JOIN buckets c ON q.bucket = c.bucket
-  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
-dots2 AS (SELECT p.q_id, p.vec_id, sum(a.v * b.v) AS dot
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+  UNION ALL
+  SELECT DISTINCT q.vec_id, c.vec_id, 'probe1'
+  FROM qprobes q JOIN buckets c ON q.bucket = c.bucket
+  WHERE c.vec_id != q.vec_id),
+dots2 AS (SELECT p.q_id, p.vec_id, p.variant, sum(a.v * b.v) AS dot
   FROM pairs p JOIN ex a ON a.vec_id = p.q_id
-  JOIN ex b ON b.vec_id = p.vec_id AND b.i = a.i GROUP BY 1, 2),
-cos AS (SELECT d.q_id, d.vec_id,
+  JOIN ex b ON b.vec_id = p.vec_id AND b.i = a.i GROUP BY 1, 2, 3),
+cos AS (SELECT d.q_id, d.vec_id, d.variant,
   round(dot / (na.nrm * nb.nrm), 4) AS cos
   FROM dots2 d JOIN norms na ON na.vec_id = d.q_id
   JOIN norms nb ON nb.vec_id = d.vec_id),
-ranked AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos FROM cos)
-SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+ranked AS (SELECT q_id, CAST(row_number() OVER (
+  PARTITION BY variant, q_id
+  ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos,
+  variant FROM cos)
+SELECT q_id, rank, vec_id, cos, variant FROM ranked WHERE rank <= 5
 """
 
     # ---- ann_ivf_topk: replicate the IVF exactly — cells = the 16

@@ -156,6 +156,17 @@ def main() -> None:
         )
         extra[f"lsh_topk_p{np_}_recall"] = recall(lsh_rows)
         extra[f"lsh_topk_p{np_}_scan_fraction"] = round(1 / 2**np_, 4)
+    # multi-probe (round-7): query probes its bucket + all Hamming-1
+    # neighbors — (n_planes+1)x the scan of single-probe, recovers
+    # every neighbor that disagrees on exactly one sign
+    mp_rows = timed(
+        "lsh_topk_p8_h1",
+        lambda: ann.lsh_cosine_topk(
+            vecs, qs, k=K, n_planes=8, dim=DIM, probe_hamming=1
+        ).collect(),
+    )
+    extra["lsh_topk_p8_h1_recall"] = recall(mp_rows)
+    extra["lsh_topk_p8_h1_scan_fraction"] = round(9 / 2**8, 4)
 
     # ---- IVF, untrained deterministic quantizer ----
     ivf_rows = timed(
@@ -168,7 +179,7 @@ def main() -> None:
     extra["ivf_scan_fraction_theoretical"] = round(16 / N_CENTERS, 3)
 
     # ---- IVF, deterministic trained (Lloyd) quantizer ----
-    timed(
+    cents = timed(
         "ivf_lloyd_train",
         lambda: ann.lloyd_centroids(vecs, N_CENTERS),
     )
@@ -179,6 +190,20 @@ def main() -> None:
         ).collect(),
     )
     extra["ivf_lloyd_recall"] = recall(ivf_l_rows)
+    # build-once/query-many split (round-7): persist the inverted lists
+    # (cell assignments) once, then the query pays only the probed-cells
+    # join — the true per-query marginal cost at scale
+    asg = ann.ivf_assignments(vecs, cents).persist()
+    timed("ivf_assign_once", lambda: asg.count())
+    ivf_q_rows = timed(
+        "ivf_query_only",
+        lambda: ann.ivf_topk(
+            vecs, qs, k=K, n_cells=N_CENTERS, nprobe=16,
+            centroids=cents, assignments=asg,
+        ).collect(),
+    )
+    assert recall(ivf_q_rows) == extra["ivf_lloyd_recall"]
+    asg.unpersist()
 
     # ---- embedding near-dup pairs + no-silent-caps census ----
     planes = ann.hyperplanes(DIM, 16, seed=42)

@@ -164,3 +164,73 @@ def test_ivf_multi_assign_monotone(emb, spark):
         exact,
     )
     assert r2 >= r1, (r1, r2)
+
+
+def test_multiprobe_lsh_recall_not_worse(clustered, spark):
+    """Round-7: probe_hamming=1 (multi-probe LSH) probes the query's
+    bucket plus every Hamming-1 neighbor — its candidate set is a
+    strict superset of single-probe's, so recall@5 vs brute force is
+    monotonically >= , and on clusterable data the gap is material."""
+    from text_search_spark.operators.ann import lsh_cosine_topk
+
+    qs = _queries(clustered, 100, 120)
+    exact = _topk_sets(cosine_topk(clustered, qs, k=5))
+    single = _recall(
+        _topk_sets(lsh_cosine_topk(clustered, qs, k=5, n_planes=8)),
+        exact,
+    )
+    multi = _recall(
+        _topk_sets(
+            lsh_cosine_topk(
+                clustered, qs, k=5, n_planes=8, probe_hamming=1
+            )
+        ),
+        exact,
+    )
+    assert multi > single
+    # bar from the fixture itself: sigma-0.15 clusters put the true
+    # top-5 at signature Hamming distance {0: 2%, 1: 15%, 2+: 83%}
+    # (numpy replay of the same planes), so Hamming<=1 probing can
+    # recover ~0.17 — the measured value matches that ceiling exactly,
+    # which is the real pin here (the MECHANISM recovers everything
+    # distance-1 probing can see; single-probe sees only the 2%)
+    assert multi >= 0.15, f"multi-probe recall@5 = {multi:.3f}"
+    with pytest.raises(ValueError):
+        lsh_cosine_topk(clustered, qs, k=5, probe_hamming=2)
+
+
+def test_ivf_reuse_identical_to_self_contained(clustered, spark):
+    """Round-7: precomputed centroids + persisted assignments (the
+    build-once inverted lists) give row-identical top-k to the
+    self-contained ivf_topk call, for single- and multi-assignment."""
+    from text_search_spark.operators.ann import (
+        ivf_assignments,
+        lloyd_centroids,
+    )
+
+    qs = _queries(clustered, 100, 110)
+    cents = lloyd_centroids(clustered, 16)
+    for n_assign in (1, 2):
+        want = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    clustered, qs, k=5, n_cells=16, nprobe=4,
+                    quantizer="lloyd", n_assign=n_assign,
+                ).collect(),
+            )
+        )
+        asg = ivf_assignments(clustered, cents, n_assign=n_assign)
+        got = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    clustered, qs, k=5, n_cells=16, nprobe=4,
+                    n_assign=n_assign, centroids=cents,
+                    assignments=asg,
+                ).collect(),
+            )
+        )
+        assert got == want, f"reuse diverged at n_assign={n_assign}"
+    with pytest.raises(ValueError):
+        ivf_topk(clustered, qs, assignments=asg)

@@ -153,9 +153,24 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's LSH
-    bucket (single-probe). Recall/latency tradeoff governed by n_planes."""
+    bucket(s). Recall/latency tradeoff governed by n_planes and
+    probe_hamming.
+
+    probe_hamming=0 is classic single-probe. probe_hamming=1 is
+    multi-probe LSH (Lv et al., VLDB'07): each query ALSO probes the
+    n_planes buckets at Hamming distance 1 from its own signature —
+    a true neighbor that disagrees on exactly one hyperplane sign (the
+    dominant miss mode: the round-7 400k bench measured single-probe
+    recall@10 at just 0.14) is recovered at (n_planes+1)x the probed
+    buckets, still a tiny fraction of the corpus and still one
+    broadcast join — the scan fraction stays ~(n_planes+1)/2^n_planes
+    of brute force. Each vector lives in exactly one bucket, so probes
+    never duplicate a candidate and no dedup step is needed."""
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming supports 0 or 1")
     planes = hyperplanes(dim, n_planes, seed)
     cand = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -165,6 +180,17 @@ def lsh_cosine_topk(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).cast("array<double>").alias("q"),
     ).withColumn("bucket", lsh_bucket(F.col("q"), planes))
+    if probe_hamming >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        qs = qs.select(
+            "q_id", "q", F.explode(probes).alias("bucket")
+        )
     joined = cand.join(F.broadcast(qs), "bucket").where(
         F.col("vec_id") != F.col("q_id")
     )
@@ -354,6 +380,44 @@ def _cell_scores(vec_col, cents: List[tuple], round_digits: int = 4):
     return F.array(*entries)
 
 
+def ivf_assignments(
+    vectors: DataFrame,
+    centroids: List[tuple],
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, v, cell) — every vector assigned to its n_assign nearest
+    coarse cells by a per-row JVM array argmax/sort (NO shuffle, bounded
+    n_assign-way replication). This IS the IVF index build: persist it
+    `partitionBy("cell")` once at ingest and hand it to
+    ivf_topk(assignments=...) so queries pay only the probed-cells join
+    (the round-7 bench attributed ~70% of a self-contained call to this
+    step)."""
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if n_assign <= 1:
+        return base.withColumn(
+            "best", F.array_max(_cell_scores(F.col("v"), centroids))
+        ).select("vec_id", "v", (-F.col("best.nc")).alias("cell"))
+    return (
+        base.withColumn(
+            "cells",
+            F.slice(
+                F.reverse(
+                    F.array_sort(_cell_scores(F.col("v"), centroids))
+                ),
+                1,
+                n_assign,
+            ),
+        )
+        .select("vec_id", "v", F.explode(F.col("cells.nc")).alias("nc"))
+        .select("vec_id", "v", (-F.col("nc")).alias("cell"))
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -366,6 +430,8 @@ def ivf_topk(
     q_vec_col: str = "q_vec",
     quantizer: str = "lowest_id",
     n_assign: int = 1,
+    centroids: Optional[List[tuple]] = None,
+    assignments: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: (q_id, rank, vec_id, cos).
 
@@ -387,35 +453,35 @@ def ivf_topk(
     oracle path), "lloyd" (deterministic TRAINED spherical k-means,
     lloyd_centroids — also fully oracle-replayable, the driver-gated
     trained path), or "kmeans" (seeded spherical MLlib training; recall
-    pinned in tests/test_ann_recall.py)."""
-    if quantizer == "kmeans":
+    pinned in tests/test_ann_recall.py).
+
+    centroids / assignments: the INDEX-side reuse seam (round-7 — the
+    400k bench measured ~70% of a self-contained ivf_topk call as cell
+    assignment of the corpus, an index-time cost). Pass `centroids`
+    (output of lloyd_centroids / kmeans_centroids / _centroids) to skip
+    training, and/or `assignments` (output of ivf_assignments, e.g.
+    persisted/partitionBy(cell) inverted lists) to skip assignment —
+    the call then pays only the probed-cells join, the true per-query
+    marginal cost. Results are identical either way (pinned)."""
+    if assignments is not None and centroids is None:
+        raise ValueError(
+            "assignments reuse needs the same `centroids` the "
+            "assignment was built with (query probes must agree)"
+        )
+    if centroids is not None:
+        cents = centroids
+    elif quantizer == "kmeans":
         cents = kmeans_centroids(vectors, n_cells, id_col, vec_col)
     elif quantizer == "lloyd":
         cents = lloyd_centroids(vectors, n_cells, id_col=id_col, vec_col=vec_col)
     else:
         cents = _centroids(vectors, n_cells, id_col, vec_col)
-    base = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    if n_assign <= 1:
-        cand = base.withColumn(
-            "best", F.array_max(_cell_scores(F.col("v"), cents))
-        ).select("vec_id", "v", (-F.col("best.nc")).alias("cell"))
+    if assignments is not None:
+        cand = assignments
     else:
-        cand = (
-            base.withColumn(
-                "cells",
-                F.slice(
-                    F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))),
-                    1,
-                    n_assign,
-                ),
-            )
-            .select(
-                "vec_id", "v", F.explode(F.col("cells.nc")).alias("nc")
-            )
-            .select("vec_id", "v", (-F.col("nc")).alias("cell"))
+        cand = ivf_assignments(
+            vectors, cents, n_assign=n_assign, id_col=id_col,
+            vec_col=vec_col,
         )
     qs = (
         queries.select(
@@ -443,9 +509,12 @@ def ivf_topk(
         4,
     )
     scored = joined.select("q_id", "vec_id", cos.alias("cos"))
-    if n_assign > 1:
+    if n_assign > 1 or assignments is not None:
         # a vector assigned to 2+ probed cells would pair with the same
-        # query twice — dedupe (identical cos, so any survivor is right)
+        # query twice — dedupe (identical cos, so any survivor is
+        # right). External assignments dedupe unconditionally: their
+        # n_assign is not visible here and a missed dedup is a wrong
+        # top-k, while a redundant one is a bounded candidate shuffle.
         scored = scored.dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
