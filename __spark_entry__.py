@@ -860,7 +860,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh = ann.lsh_dup_pairs(e, threshold=0.3).withColumn(
             "method", F.lit("lsh")
         )
-        return brute.unionByName(lsh)
+        # 'lsh_b4' (round-7): BANDED sign-LSH — 4 bands of 4 planes; a
+        # pair is a candidate when ANY band agrees (the recall tail the
+        # 400k bench showed single-band missing); oracle replays the
+        # band split verbatim
+        lsh_b4 = ann.lsh_dup_pairs(
+            e, threshold=0.3, n_planes=4, n_bands=4
+        ).withColumn("method", F.lit("lsh_b4"))
+        return brute.unionByName(lsh).unionByName(lsh_b4)
 
     q["embedding_dups"] = embedding_dups
 
@@ -2243,6 +2250,11 @@ FROM p GROUP BY 1
     # ---- embedding_dups: brute all-pairs (threshold 0.5) UNION the
     # LSH-bucketed pairs (same inline plane literals; pairs form only
     # within equal buckets, threshold 0.3), tagged by method ----
+    plane_rows16 = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p, row in enumerate(hyperplanes(64, 16, 42))
+        for i, w in enumerate(row)
+    )
     o["embedding_dups"] = f"""
 WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
             generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -2264,12 +2276,32 @@ pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
   WHERE a.vec_id < b.vec_id),
 ldots AS (SELECT p.id_a, p.id_b, sum(x.v * y.v) AS dot
   FROM pairs p JOIN ex x ON x.vec_id = p.id_a
+  JOIN ex y ON y.vec_id = p.id_b AND y.i = x.i GROUP BY 1, 2),
+planes16 AS (SELECT * FROM (VALUES {plane_rows16}) AS t(p, i, w)),
+pdots16 AS (SELECT e.vec_id, pl.p, sum(e.v * pl.w) AS d
+  FROM ex e JOIN planes16 pl ON pl.i = e.i GROUP BY 1, 2),
+bbuckets AS (SELECT vec_id, p // 4 AS band,
+  sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 4)) ELSE 0 END)
+  AS bucket
+  FROM pdots16 GROUP BY 1, 2),
+bpairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bbuckets a JOIN bbuckets b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id),
+bldots AS (SELECT p.id_a, p.id_b, sum(x.v * y.v) AS dot
+  FROM bpairs p JOIN ex x ON x.vec_id = p.id_a
   JOIN ex y ON y.vec_id = p.id_b AND y.i = x.i GROUP BY 1, 2)
 SELECT id_a, id_b, cos, 'brute' AS method FROM bcos WHERE cos >= 0.5
 UNION ALL
 SELECT d.id_a, d.id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos,
   'lsh' AS method
 FROM ldots d JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3
+UNION ALL
+SELECT d.id_a, d.id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos,
+  'lsh_b4' AS method
+FROM bldots d JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
 WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3
 """

@@ -248,6 +248,27 @@ def main() -> None:
     extra["planted_dups"] = n_dup
     extra["planted_dup_recall"] = round(found_planted / n_dup, 4)
 
+    # banded variant (round-7): 4 bands x 16 planes — candidate when
+    # ANY band agrees; planted-pair miss prob drops from ~0.19
+    # single-band to (1-(1-p)^16)^4 ~ 0.001. Band WIDTH matters at
+    # scale: a first attempt with 8-plane bands (256 buckets/band) put
+    # random-pair collision at 4/2^8 and generated ~1e9 candidates at
+    # 400k vectors (job killed) — the banded recall lever is only free
+    # when 2^planes_per_band keeps the random collision rate near zero
+    dupb = timed(
+        "lsh_dup_pairs_b4x16",
+        lambda: ann.lsh_dup_pairs(
+            vecs, threshold=0.99, n_planes=16, n_bands=4, dim=DIM
+        ).cache(),
+    )
+    extra["dup_pairs_b4x16_found"] = int(dupb.count())
+    found_b = dupb.where(
+        (F.col("id_b") >= N_VECS - n_dup)
+        & (F.col("id_a") == F.col("id_b") - (N_VECS - n_dup))
+    ).count()
+    dupb.unpersist()
+    extra["planted_dup_recall_b4x16"] = round(found_b / n_dup, 4)
+
     out = {
         "metric": "ANN family at 400k embeddings",
         "timings_s": timings,

@@ -438,3 +438,66 @@ def test_incremental_term_stats_deltas(spark, tmp_path):
         for f in os.listdir(fmt.term_stats_deltas_dir(ix))
         if f.endswith(".parquet")
     ]
+
+
+def test_fold_term_stats_deltas(spark, tmp_path):
+    """Round-7: folding bounds the per-batch delta-file list — after
+    the fold the view is unchanged (equals a fresh rebuild), consumed
+    files are gone, and the validity flag is untouched."""
+    from text_search_spark.streaming.incremental import (
+        _append_batch,
+        fold_term_stats_deltas,
+    )
+
+    pages = generate_pages(90)
+    pdf = spark.createDataFrame(
+        [(p.url, p.text) for p in pages], "url string, text string"
+    )
+    corpus = prepare_corpus(pdf, url_col="url")
+    rows = corpus.collect()
+
+    ix = str(tmp_path / "fold_ts_ix")
+    for b in range(3):
+        _append_batch(
+            spark,
+            spark.createDataFrame(
+                rows[30 * b: 30 * (b + 1)],
+                "doc_id long, url string, text string",
+            ),
+            ix,
+            batch_id=b,
+        )
+    man = fmt.load_manifest(ix)
+    n_before = len(man.term_stats_delta_files)
+    assert n_before >= 3
+    want = {
+        (r.term, r.df, r.cf)
+        for r in IndexReader(spark, ix).term_stats().collect()
+    }
+
+    assert not fold_term_stats_deltas(spark, ix, max_delta_files=8)
+    assert fold_term_stats_deltas(spark, ix, max_delta_files=2)
+    man = fmt.load_manifest(ix)
+    assert len(man.term_stats_delta_files) == 1
+    assert man.term_stats_delta_files[0].startswith("fold-")
+    got = {
+        (r.term, r.df, r.cf)
+        for r in IndexReader(spark, ix).term_stats().collect()
+    }
+    assert got == want
+    # consumed per-batch files physically removed; only the fold stays
+    left = [
+        f
+        for f in os.listdir(fmt.term_stats_deltas_dir(ix))
+        if f.endswith(".parquet")
+    ]
+    assert len(left) == 1 and left[0].startswith("fold-")
+    # still exact against a rebuild
+    rebuild_term_stats(spark, ix)
+    man = fmt.load_manifest(ix)
+    assert man.stages.get("term_stats") and not man.term_stats_delta_files
+    base = {
+        (r.term, r.df, r.cf)
+        for r in IndexReader(spark, ix).term_stats().collect()
+    }
+    assert base == want

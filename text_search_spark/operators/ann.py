@@ -111,6 +111,7 @@ def lsh_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs WITHOUT an all-pairs crossJoin:
     vectors bucket by hyperplane signs (one hash shuffle), candidate
@@ -120,26 +121,56 @@ def lsh_dup_pairs(
     At 100 TB the pair count is sum of per-bucket squares instead of
     N^2; recall is governed by n_planes (near-identical vectors agree on
     every sign with high probability). The brute-force variant stays
-    available as the small-scale oracle."""
-    planes = hyperplanes(dim, n_planes, seed)
+    available as the small-scale oracle.
+
+    n_bands (round-7): >1 gives BANDED sign-LSH — n_bands independent
+    signatures of n_planes bits each (same minhash-LSH shape the text
+    dedup uses); a pair is a candidate when ANY band agrees, so
+    pair-recall rises from (1-p)^P to 1-(1-(1-p)^P)^B (the round-7
+    400k bench measured single-band planted-dup recall at 0.82 — the
+    banded config buys the missing tail at B x the bucketing cost,
+    still one shuffle)."""
+    planes = hyperplanes(dim, n_bands * n_planes, seed)
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    )
+    if n_bands <= 1:
+        v = v.withColumn("band", F.lit(0)).withColumn(
+            "bucket", lsh_bucket(F.col("v"), planes[:n_planes])
+        )
+    else:
+        band_buckets = F.array(
+            *[
+                lsh_bucket(
+                    F.col("v"),
+                    planes[b * n_planes: (b + 1) * n_planes],
+                )
+                for b in range(n_bands)
+            ]
+        )
+        v = v.select(
+            "id", "v", F.posexplode(band_buckets).alias("band", "bucket")
+        )
     a = v.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "band",
+        "bucket",
     )
     b = v.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band",
+        "bucket",
     )
-    j = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    j = a.join(b, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (
         _norm(F.col("va")) * _norm(F.col("vb"))
     )
-    return (
-        j.select("id_a", "id_b", F.round(cos, 4).alias("cos"))
-        .where(F.col("cos") >= threshold)
+    out = j.select("id_a", "id_b", F.round(cos, 4).alias("cos")).where(
+        F.col("cos") >= threshold
     )
+    if n_bands > 1:
+        # a pair agreeing in 2+ bands is one candidate (identical cos)
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def lsh_cosine_topk(

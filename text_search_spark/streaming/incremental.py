@@ -412,6 +412,9 @@ def incremental_index(
             maybe_compact(
                 spark, index_dir, max_files_per_bucket=auto_compact_files
             )
+            # same inline-maintenance slot bounds the term_stats delta
+            # list (manifest-length check; a no-op almost every batch)
+            fold_term_stats_deltas(spark, index_dir)
 
     writer = stream_df.writeStream.foreachBatch(_on_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -419,6 +422,74 @@ def incremental_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_term_stats_deltas(
+    spark: SparkSession, index_dir: str, max_delta_files: int = 64
+) -> bool:
+    """Fold the snapshot's term_stats delta files into ONE combined
+    delta once more than max_delta_files have accumulated (a long
+    stream commits one tiny delta per batch; the reader view unions
+    them all, so an unbounded list slowly inflates every term_stats()
+    plan). Returns whether a fold ran.
+
+    Cost: reads ONLY the delta files (batch-sized sums, never the
+    index), writes one combined file, CAS-swaps the list. The mutate
+    is a rebase: deltas committed by appends racing the fold were not
+    in the consumed set and survive (same discipline as
+    rebuild_term_stats). The manifest-only length check makes this
+    safe to call after every micro-batch (incremental_index does).
+    Consumed files are removed best-effort after the commit — a crash
+    before removal leaves unreferenced files a later fold's removal or
+    operator cleanup sweeps; they are never read again."""
+    import uuid as _uuid
+
+    man0 = fmt.load_manifest(index_dir)
+    if man0 is None:
+        return False
+    deltas = list(man0.term_stats_delta_files or [])
+    if len(deltas) <= max_delta_files:
+        return False
+    td = fmt.term_stats_deltas_dir(index_dir)
+    ddf = spark.read.schema(fmt.TERM_STATS_READ_SCHEMA).parquet(
+        *(os.path.join(td, rel) for rel in deltas)
+    )
+    folded = (
+        ddf.groupBy("term_id")
+        .agg(
+            F.min("term").alias("term"),
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.min("term_bucket").alias("term_bucket"),
+        )
+        .select("term", "term_id", "df", "cf", "term_bucket")
+    )
+    tag = f"fold-{_uuid.uuid4().hex[:12]}"
+    tmp = os.path.join(td, "." + tag)
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+    rels = []
+    for i, f in enumerate(sorted(os.listdir(tmp))):
+        if f.endswith(".parquet"):
+            out = f"{tag}-{i:04d}.parquet"
+            os.replace(os.path.join(tmp, f), os.path.join(td, out))
+            rels.append(out)
+    shutil.rmtree(tmp, ignore_errors=True)
+    consumed = set(deltas)
+
+    def _commit(m2: "fmt.IndexManifest") -> None:
+        cur = set(m2.term_stats_delta_files or [])
+        m2.term_stats_delta_files = sorted(
+            (cur - consumed) | set(rels)
+        ) or None
+
+    fmt.commit_manifest(index_dir, _commit)
+    for rel in consumed:
+        try:
+            os.remove(os.path.join(td, rel))
+        except FileNotFoundError:
+            pass
+    return True
 
 
 def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
