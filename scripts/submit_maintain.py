@@ -8,6 +8,7 @@ time travel):
   ... vacuum [--grace-s 3600] [--retain-last 1]
   ... expire [--retain-last 2]
   ... delete --ids-parquet /data/takedowns.parquet [--id-col doc_id]
+  ... stats (--fold [--max-delta-files 64] | --rebuild)
   ... history
 
 --index must be a LOCAL (or locally-mounted, e.g. NFS/fuse) path:
@@ -75,6 +76,18 @@ def main() -> None:
     d.add_argument("--ids-parquet", required=True)
     d.add_argument("--id-col", default="doc_id")
 
+    s = sub.add_parser(
+        "stats",
+        help="term_stats maintenance: --fold bounds the per-batch "
+             "delta-file list (cheap, batch-sized); --rebuild "
+             "re-baselines from a full segment scan (first build or "
+             "post-purge)",
+    )
+    g = s.add_mutually_exclusive_group(required=True)
+    g.add_argument("--fold", action="store_true")
+    g.add_argument("--rebuild", action="store_true")
+    s.add_argument("--max-delta-files", type=int, default=64)
+
     sub.add_parser("history", help="list retained snapshots")
 
     args = ap.parse_args()
@@ -121,6 +134,28 @@ def main() -> None:
         ids = spark.read.parquet(args.ids_parquet)
         n = delete_docs(spark, args.index, ids, id_col=args.id_col)
         print(json.dumps({"tombstoned": n}))
+    elif args.cmd == "stats":
+        from text_search_spark.streaming.incremental import (
+            fold_term_stats_deltas,
+            rebuild_term_stats,
+        )
+
+        if args.rebuild:
+            rebuild_term_stats(spark, args.index)
+            man = fmt.load_manifest(args.index)
+            print(json.dumps({
+                "rebuilt": True,
+                "term_stats_valid": bool(man.stages.get("term_stats")),
+            }))
+        else:
+            ran = fold_term_stats_deltas(
+                spark, args.index, max_delta_files=args.max_delta_files
+            )
+            man = fmt.load_manifest(args.index)
+            print(json.dumps({
+                "folded": ran,
+                "delta_files": len(man.term_stats_delta_files or []),
+            }))
     spark.stop()
 
 
