@@ -1302,6 +1302,13 @@ def build_index(
             )
             (
                 seg.write.mode("overwrite")
+                # bounded row groups keep the sidecar point read's
+                # term_id pruning effective whatever the partition
+                # size (fmt.SEGMENT_ROW_GROUP_BYTES rationale)
+                .option(
+                    "parquet.block.size",
+                    str(fmt.SEGMENT_ROW_GROUP_BYTES),
+                )
                 .partitionBy("term_bucket")
                 .parquet(fmt.segments_dir(index_dir))
             )

@@ -696,6 +696,15 @@ def metrics_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "metrics")
 
 
+# Parquet row-group byte target for segment files (all writers). The
+# sidecar point read prunes row groups by term_id min/max; a large
+# write partition left at the 128 MB writer default lands 100+ MB row
+# groups and every single-term read then pulls a whole postings column
+# chunk (measured at 1M docs: post-compaction cold p50 374 ms -> 202 ms
+# after bounding this; BENCH.md round-7). Bulk scans are unaffected —
+# files.maxPartitionBytes coalesces row groups per task.
+SEGMENT_ROW_GROUP_BYTES = 8 * 1024 * 1024
+
 SEGMENT_SCHEMA = (
     "term_id long, shard int, df_part long, cf_part long, "
     "postings binary, positions binary, blockmax binary, bm_avgdl double"

@@ -36,13 +36,9 @@ from ..codec import (
 )
 from . import format as fmt
 
-# Parquet row-group byte target for REWRITTEN segment files (compaction
-# / shard merge). Batch-build segment files are naturally sub-MB (many
-# shuffle partitions x partitionBy), so row-group granularity never
-# mattered there; a one-file-per-bucket rewrite without this lands
-# single 100+ MB row groups and destroys the sidecar point-read's
-# row-group pruning (see compact_in_place's write).
-SEGMENT_ROW_GROUP_BYTES = 8 * 1024 * 1024
+# canonical definition lives with the layout (format.py); every segment
+# writer (build, append, compaction, shard merge) uses the same bound
+SEGMENT_ROW_GROUP_BYTES = fmt.SEGMENT_ROW_GROUP_BYTES
 
 
 def _claim_compaction_lock(index_dir: str, gen: int) -> str:

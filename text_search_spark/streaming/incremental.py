@@ -235,6 +235,7 @@ def _append_batch_inner(
     )
     _append_scoped(
         lambda p: seg.write.mode("overwrite")
+        .option("parquet.block.size", str(fmt.SEGMENT_ROW_GROUP_BYTES))
         .partitionBy("term_bucket")
         .parquet(p),
         fmt.segments_dir(index_dir),
