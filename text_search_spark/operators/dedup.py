@@ -44,9 +44,16 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def _distinct_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # distinct is PER DOC (the key is (id, term)), so it never needs a
+    # shuffle: array_distinct inside the doc's own token array computes
+    # the exact same relation map-side (round-8, guide §2.4 — the former
+    # explode().distinct() exchanged the whole exploded token relation)
     return df.select(
-        F.col(id_col), F.explode(spark_tokens(F.col(text_col))).alias("term")
-    ).distinct()
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(spark_tokens(F.col(text_col)))
+        ).alias("term"),
+    )
 
 
 def minhash_signatures(
@@ -75,6 +82,9 @@ def minhash_signatures(
         # re-ran the whole tokenizer once per shingle — O(n_tokens^2)
         # per doc, measured as 24 min for 400k pages at 16 cores
         # (BENCH.md round-5; same disease as the r4 langid fix)
+        # per-doc array_distinct replaces the corpus-wide .distinct():
+        # the key is (id, shingle), so dedup never crosses docs and the
+        # exploded-relation exchange is pure overhead (round-8)
         units = (
             df.select(
                 F.col(id_col),
@@ -82,11 +92,10 @@ def minhash_signatures(
             )
             .select(
                 F.col(id_col),
-                F.explode(shingles(F.col("_toks"), shingle_n)).alias(
-                    "term"
-                ),
+                F.explode(
+                    F.array_distinct(shingles(F.col("_toks"), shingle_n))
+                ).alias("term"),
             )
-            .distinct()
         )
     aggs = [
         F.min(minhash_col(F.col("term"), i)).alias(f"h{i}")
@@ -106,23 +115,25 @@ def _band_buckets(
     secondary signature slot OUTSIDE the band (the next slot, mod
     num_hashes): oversized-bucket recovery sorts members by it so that
     docs likeliest to be near-dups of each other land in the same
-    bounded chunk (Catalyst prunes it wherever it's unused)."""
-    bands = []
+    bounded chunk (Catalyst prunes it wherever it's unused).
+
+    Shape (round-8): ONE pass over sigs — an inline array of per-band
+    structs exploded, instead of a union of num_bands selects (the
+    union re-ran the signature aggregation's final stage per branch)."""
+    entries = []
     for b in range(num_hashes // rows_per_band):
         cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         sec = f"h{((b + 1) * rows_per_band) % num_hashes}"
-        bands.append(
-            sigs.select(
-                F.col(id_col).alias("id"),
+        entries.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("|", *cols)).alias("bucket"),
                 F.col(sec).alias("sec"),
             )
         )
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionByName(x)
-    return all_bands
+    return sigs.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("e")
+    ).select("id", "e.band", "e.bucket", "e.sec")
 
 
 def lsh_capped_census(
@@ -168,7 +179,8 @@ def lsh_capped_census(
 
 def _clique_pairs(arr):
     """All (least, greatest) pairs of an array column, JVM-side (nested
-    transform — no self-join)."""
+    transform — no self-join). Fallback path for non-long id types; the
+    long-id hot path uses the vectorized _expand_pairs_arrow."""
     return F.flatten(
         F.transform(
             arr,
@@ -181,6 +193,107 @@ def _clique_pairs(arr):
             ),
         )
     )
+
+
+# output batch bound for the pair-expansion UDF: one yielded batch = one
+# socket write on the bidirectional JVM<->worker pipe; unbounded batches
+# (a 31k-member bucket expands to ~16M pairs) risk the same send-buffer
+# deadlock index/build.py bounds with _OUT_ROWS
+_PAIR_FLUSH_ROWS = 2_000_000
+
+# row-block slab for clique generation when a single group exceeds this
+# many members (only reachable with max_bucket=None): bounds the triu
+# index allocation instead of materializing C(n,2) at once
+_CLIQUE_SLAB_PAIRS = 8_000_000
+
+
+def _expand_pairs_arrow():
+    """mapInArrow factory: rows of (ids array<long>) -> every unordered
+    (least, greatest) pair of each row — the full clique. The JVM side
+    pre-splits oversized buckets into <= max_bucket chunks plus
+    2-element bridge rows (a clique of 2 IS the bridge pair), so this
+    function is pure clique expansion; semantics are identical to the
+    JVM expression path, but the expansion is a numpy triu gather at
+    memcpy speed instead of an interpreted nested transform/slice that
+    built one giant array cell per bucket — the round-8 profile
+    measured the expression expansion + distinct at 99 s of the 120 s
+    dedup_minhash total at 50k docs (guide §4.2)."""
+    import numpy as np
+    import pyarrow as pa
+
+    triu_cache: dict = {}
+
+    def triu(n: int):
+        got = triu_cache.get(n)
+        if got is None:
+            got = np.triu_indices(n, 1)
+            if len(triu_cache) < 64:  # bound worker memory
+                triu_cache[n] = got
+        return got
+
+    def fn(batches):
+        acc_lo: list = []
+        acc_hi: list = []
+        acc_n = 0
+
+        def flush():
+            nonlocal acc_lo, acc_hi, acc_n
+            lo = np.concatenate(acc_lo)
+            hi = np.concatenate(acc_hi)
+            acc_lo, acc_hi, acc_n = [], [], 0
+            return pa.record_batch(
+                [pa.array(lo, pa.int64()), pa.array(hi, pa.int64())],
+                names=["id_a", "id_b"],
+            )
+
+        def emit(a: np.ndarray, b: np.ndarray):
+            nonlocal acc_n
+            acc_lo.append(np.minimum(a, b))
+            acc_hi.append(np.maximum(a, b))
+            acc_n += a.size
+
+        def clique(v: np.ndarray):
+            n = v.size
+            if n <= 2048:
+                iu0, iu1 = triu(n)
+                emit(v[iu0], v[iu1])
+                return
+            # slab the row range so index buffers stay bounded (only
+            # reachable with max_bucket=None whole-bucket rows)
+            i = 0
+            while i < n - 1:
+                j, cnt = i, 0
+                while j < n - 1 and cnt + (n - 1 - j) <= _CLIQUE_SLAB_PAIRS:
+                    cnt += n - 1 - j
+                    j += 1
+                j = max(j, i + 1)
+                rows = np.arange(i, j)
+                lens = n - 1 - rows
+                a_idx = np.repeat(rows, lens)
+                b_idx = (
+                    np.arange(lens.sum())
+                    - np.repeat(np.cumsum(lens) - lens, lens)
+                    + a_idx
+                    + 1
+                )
+                emit(v[a_idx], v[b_idx])
+                i = j
+
+        for batch in batches:
+            la = batch.column(0)
+            offs = la.offsets.to_numpy().astype(np.int64)
+            offs = offs - offs[0]
+            flat = la.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            for s, e in zip(offs[:-1], offs[1:]):
+                clique(flat[s:e])
+                if acc_n >= _PAIR_FLUSH_ROWS:
+                    yield flush()
+        if acc_n:
+            yield flush()
+
+    return fn
 
 
 def lsh_candidate_pairs(
@@ -214,16 +327,41 @@ def lsh_candidate_pairs(
     directly expanded). recover_capped=False restores the round-5 drop
     behavior; max_bucket=None disables the guard entirely.
 
-    Plan shape: ONE shuffle (group ids per (band, bucket)); clique +
-    chunk + bridge expansion are all array expressions on the grouped
-    row (whole-stage codegen), then distinct."""
+    Plan shape: ONE shuffle (group ids per (band, bucket)); for long
+    ids the clique + chunk + bridge expansion runs as a vectorized
+    Arrow UDF over the grouped row's member array (round-8: the former
+    interpreted nested-transform expression built one array cell of up
+    to C(max_bucket,2) structs per CHUNK and concatenated all chunks
+    into a single bucket-level array — ~250 MB cells at 50k docs —
+    and measured 99 s of the 120 s operator total; the numpy gather is
+    ~10x cheaper and bounds output batches), then distinct. Non-long
+    id types keep the JVM expression path (identical semantics)."""
     all_bands = _band_buckets(sigs, id_col, rows_per_band, num_hashes)
+    id_type = dict(sigs.dtypes).get(id_col)
+    vectorized = id_type == "bigint"
+    # spread the expansion rows over the cluster: the bucket groupBy is
+    # tiny (hundreds of rows) and AQE rightly coalesces it to 1-2
+    # partitions, which would serialize the O(sum n^2) pair expansion
+    # AND the distinct's map-side partial aggregation onto 1-2 cores
+    # (measured: 58 s of the 67 s pipeline at 50k docs). Explicit
+    # round-robin count so AQE doesn't re-coalesce; scale-adaptive
+    # (cluster width), not a local constant.
+    expand_parts = 2 * sigs.sparkSession.sparkContext.defaultParallelism
     if max_bucket is None:
         grouped = (
             all_bands.groupBy("band", "bucket")
             .agg(F.collect_list("id").alias("ids"))
             .where(F.size("ids") >= 2)
         )
+        if vectorized:
+            return (
+                grouped.select("ids")
+                .repartition(expand_parts)
+                .mapInArrow(
+                    _expand_pairs_arrow(), schema="id_a long, id_b long"
+                )
+                .distinct()
+            )
         return (
             grouped.select(F.explode(_clique_pairs(F.col("ids"))).alias("p"))
             .select("p.id_a", "p.id_b")
@@ -241,6 +379,50 @@ def lsh_candidate_pairs(
     )
     mem = F.col("members")
     ids_all = F.transform(mem, lambda m: m["id"])
+    if vectorized:
+        # project the recovery-ordered id array only (the sec strings
+        # never cross the Python boundary — guide §4.1), then split
+        # every oversized bucket into its <= max_bucket chunks plus
+        # 2-element bridge rows IN the JVM: each expansion row is then
+        # bounded by C(max_bucket, 2) pairs — a structural skew bound —
+        # and the round-robin repartition spreads them evenly. `ids`
+        # must be a materialized attribute before the chunk lambda
+        # slices it (transform-lambda re-evaluation hazard, see
+        # shingles()).
+        idsdf = grouped.select(ids_all.alias("ids"))
+        ids, mb = F.col("ids"), F.lit(max_bucket)
+        n = F.size(ids)
+        last_chunk = (F.ceil(n / mb) - 1).cast("int")
+        if recover_capped:
+            split = F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), last_chunk),
+                    lambda c: F.slice(ids, c * mb + 1, mb),
+                ),
+                # bridges: chunk 0's head paired with every later head
+                # (a 2-element chunk cliques to exactly that pair)
+                F.transform(
+                    F.sequence(F.lit(1), last_chunk),
+                    lambda c: F.array(
+                        F.element_at(ids, 1),
+                        F.element_at(ids, c * mb + 1),
+                    ),
+                ),
+            )
+        else:
+            split = F.array().cast("array<array<bigint>>")
+        chunks = idsdf.select(
+            F.explode(
+                F.when(n <= mb, F.array(ids)).otherwise(split)
+            ).alias("ids")
+        )
+        return (
+            chunks.repartition(expand_parts)
+            .mapInArrow(
+                _expand_pairs_arrow(), schema="id_a long, id_b long"
+            )
+            .distinct()
+        )
     small = grouped.where(F.size(mem) <= max_bucket).select(
         F.explode(_clique_pairs(ids_all)).alias("p")
     )
@@ -333,9 +515,13 @@ def ngram_jaccard_pairs(
             spark_tokens(F.col(text_col)).alias("_toks"),
         )
         .select(
-            "id", F.explode(shingles(F.col("_toks"), n)).alias("sh")
+            # per-doc array_distinct == the former corpus-wide
+            # .distinct() on the (id, sh) key, minus its exchange
+            "id",
+            F.explode(
+                F.array_distinct(shingles(F.col("_toks"), n))
+            ).alias("sh"),
         )
-        .distinct()
     )
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "sh").select(
