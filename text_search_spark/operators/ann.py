@@ -22,6 +22,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Defensive parallelism guard for row-independent scoring inputs:
+    a single-file parquet corpus arrives as 1-2 scan splits, which
+    serializes the interpreted per-row fold expressions onto 1-2 cores.
+    Row-wise ops + deterministic (rounded cos, id) ranking make the
+    repartition result-neutral here. NEVER applied to training paths
+    whose float aggregation order must stay fixed (lloyd_centroids /
+    kmeans_centroids input partitioning is part of their determinism
+    contract)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -55,20 +70,24 @@ def cosine_topk(
     is reproducible across engines (float64 sum-order differences live far
     below the rounding grain).
     """
-    cand = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    # norms hoisted to projected columns: the fold expressions are
+    # interpreted (no cross-expression CSE), so an inline _norm(v) is
+    # re-folded per (vector, query) PAIR and _norm(q) per candidate row;
+    # identical float64 values, computed once per side (round-8)
+    cand = _spread(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).withColumn("_vn", _norm(F.col("v")))
     qs = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).cast("array<double>").alias("q"),
-    )
+    ).withColumn("_qn", _norm(F.col("q")))
     joined = cand.crossJoin(F.broadcast(qs)).where(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = _dot(F.col("v"), F.col("q")) / (
-        _norm(F.col("v")) * _norm(F.col("q"))
-    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("_vn") * F.col("_qn"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = joined.select("q_id", "vec_id", cos.alias("cos"))
@@ -131,9 +150,11 @@ def lsh_dup_pairs(
     banded config buys the missing tail at B x the bucketing cost,
     still one shuffle)."""
     planes = hyperplanes(dim, n_bands * n_planes, seed)
-    v = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    v = _spread(
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     if n_bands <= 1:
         v = v.withColumn("band", F.lit(0)).withColumn(
@@ -152,18 +173,19 @@ def lsh_dup_pairs(
         v = v.select(
             "id", "v", F.posexplode(band_buckets).alias("band", "bucket")
         )
+    # hoisted norm: folded once per (id, band) row instead of once per
+    # candidate pair side (identical float64 value; see _cell_scores)
+    v = v.withColumn("_n", _norm(F.col("v")))
     a = v.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "band",
-        "bucket",
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("_n").alias("_na"), "band", "bucket",
     )
     b = v.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band",
-        "bucket",
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("_n").alias("_nb"), "band", "bucket",
     )
     j = a.join(b, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     out = j.select("id_a", "id_b", F.round(cos, 4).alias("cos")).where(
         F.col("cos") >= threshold
     )
@@ -203,14 +225,20 @@ def lsh_cosine_topk(
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming supports 0 or 1")
     planes = hyperplanes(dim, n_planes, seed)
-    cand = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    cand = _spread(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes)).withColumn(
+        "_vn", _norm(F.col("v"))  # hoisted: see _cell_scores
+    )
     qs = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).cast("array<double>").alias("q"),
-    ).withColumn("bucket", lsh_bucket(F.col("q"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("q"), planes)).withColumn(
+        "_qn", _norm(F.col("q"))
+    )
     if probe_hamming >= 1:
         probes = F.array(
             F.col("bucket"),
@@ -220,14 +248,12 @@ def lsh_cosine_topk(
             ],
         )
         qs = qs.select(
-            "q_id", "q", F.explode(probes).alias("bucket")
+            "q_id", "q", "_qn", F.explode(probes).alias("bucket")
         )
     joined = cand.join(F.broadcast(qs), "bucket").where(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = _dot(F.col("v"), F.col("q")) / (
-        _norm(F.col("v")) * _norm(F.col("q"))
-    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("_vn") * F.col("_qn"))
     scored = joined.select("q_id", "vec_id", F.round(cos, 4).alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -362,7 +388,18 @@ def lloyd_centroids(
     [(cell, vec, norm)]."""
     from pyspark.sql import functions as F
 
-    base = _unit_rows(vectors, id_col, vec_col)
+    # persist the unit rows for the training's duration: every Lloyd
+    # iteration re-assigns the SAME unit vectors (and init reads them
+    # too) — without the cache each iteration re-scans the source and
+    # re-runs the per-row normalization fold (round-8; intra-call
+    # reuse only, unpersisted before return). The hoisted _un column
+    # likewise folds ||u|| once per row instead of once per centroid
+    # per iteration (see _cell_scores).
+    from pyspark import StorageLevel
+
+    base = _unit_rows(vectors, id_col, vec_col).withColumn(
+        "_un", _norm(F.col("u"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     init_rows = base.orderBy("id").limit(n_cells).collect()
     cents = []
     for cell, r in enumerate(init_rows):
@@ -371,7 +408,10 @@ def lloyd_centroids(
         cents.append((cell, v, float(np.sqrt((arr * arr).sum()))))
     for _ in range(iters):
         assigned = base.withColumn(
-            "best", F.array_max(_cell_scores(F.col("u"), cents))
+            "best",
+            F.array_max(
+                _cell_scores(F.col("u"), cents, norm_col=F.col("_un"))
+            ),
         ).select((-F.col("best.nc")).alias("cell"), "u")
         means = (
             assigned.select("cell", F.posexplode("u").alias("i", "x"))
@@ -395,17 +435,28 @@ def lloyd_centroids(
             else:
                 new_cents.append((cell, old_vec, old_norm))
         cents = new_cents
+    base.unpersist()
     return cents
 
 
-def _cell_scores(vec_col, cents: List[tuple], round_digits: int = 4):
+def _cell_scores(
+    vec_col, cents: List[tuple], round_digits: int = 4, norm_col=None
+):
     """array<struct<cos, negcell>> of rounded cosines against every
-    centroid — a pure per-row JVM expression (no explode, no shuffle)."""
+    centroid — a pure per-row JVM expression (no explode, no shuffle).
+
+    norm_col: optional pre-projected ||vec|| column. The higher-order
+    fold expressions here are interpreted (CodegenFallback — no
+    cross-expression subexpression elimination), so an inline
+    _norm(vec_col) is re-folded once PER CENTROID; hoisting it to its
+    own projected column computes the identical float64 value once per
+    row (round-8: halves the assignment scan's expression work)."""
+    nv = _norm(vec_col) if norm_col is None else norm_col
     entries = []
     for cell, cvec, cnorm in cents:
         c = F.array(*[F.lit(float(x)) for x in cvec])
         cos = F.round(
-            _dot(vec_col, c) / (_norm(vec_col) * F.lit(cnorm)), round_digits
+            _dot(vec_col, c) / (nv * F.lit(cnorm)), round_digits
         )
         entries.append(F.struct(cos.alias("cos"), F.lit(-cell).alias("nc")))
     return F.array(*entries)
@@ -425,24 +476,21 @@ def ivf_assignments(
     ivf_topk(assignments=...) so queries pay only the probed-cells join
     (the round-7 bench attributed ~70% of a self-contained call to this
     step)."""
-    base = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    base = _spread(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).withColumn("_vn", _norm(F.col("v")))  # hoisted: see _cell_scores
+    scores = _cell_scores(F.col("v"), centroids, norm_col=F.col("_vn"))
     if n_assign <= 1:
         return base.withColumn(
-            "best", F.array_max(_cell_scores(F.col("v"), centroids))
+            "best", F.array_max(scores)
         ).select("vec_id", "v", (-F.col("best.nc")).alias("cell"))
     return (
         base.withColumn(
             "cells",
-            F.slice(
-                F.reverse(
-                    F.array_sort(_cell_scores(F.col("v"), centroids))
-                ),
-                1,
-                n_assign,
-            ),
+            F.slice(F.reverse(F.array_sort(scores)), 1, n_assign),
         )
         .select("vec_id", "v", F.explode(F.col("cells.nc")).alias("nc"))
         .select("vec_id", "v", (-F.col("nc")).alias("cell"))
@@ -532,12 +580,16 @@ def ivf_topk(
         )
         .select("q_id", "q", (-F.col("nc")).alias("cell"))
     )
+    # hoisted norms (see _cell_scores): candidate norm folded once per
+    # assignment row instead of once per (candidate, probing query);
+    # query norm once per probe row instead of per candidate
+    cand = cand.withColumn("_vn", _norm(F.col("v")))
+    qs = qs.withColumn("_qn", _norm(F.col("q")))
     joined = cand.join(F.broadcast(qs), "cell").where(
         F.col("vec_id") != F.col("q_id")
     )
     cos = F.round(
-        _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q"))),
-        4,
+        _dot(F.col("v"), F.col("q")) / (F.col("_vn") * F.col("_qn")), 4
     )
     scored = joined.select("q_id", "vec_id", cos.alias("cos"))
     if n_assign > 1 or assignments is not None:
