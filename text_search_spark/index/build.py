@@ -899,25 +899,41 @@ def _append_metrics(
     nbytes: int,
     status: str = "complete",
 ) -> None:
-    row = [
-        (
-            run_id,
-            stage,
-            unit,
-            int(docs),
-            int(postings),
-            int(nbytes),
-            status,
-            _dt.datetime.now(_dt.timezone.utc),
-        )
-    ]
-    schema = (
-        "run_id string, stage string, unit string, docs long, "
-        "postings long, bytes long, status string, updated_at timestamp"
+    """Append one audit row to the metrics table.
+
+    Written driver-side with pyarrow (tmp + atomic rename) instead of a
+    createDataFrame().write Spark job: the row is a single tuple of
+    driver-known values, and the Spark job fired per checkpointed stage
+    was ~0.2-0.3 s of pure scheduling overhead (round-8, guide §5: the
+    driver should do almost no data work — this IS driver work). The
+    parquet schema is identical (timestamp[us, UTC] reads back as a
+    Spark timestamp), so readers are unchanged."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "run_id": pa.array([run_id], pa.string()),
+            "stage": pa.array([stage], pa.string()),
+            "unit": pa.array([unit], pa.string()),
+            "docs": pa.array([int(docs)], pa.int64()),
+            "postings": pa.array([int(postings)], pa.int64()),
+            "bytes": pa.array([int(nbytes)], pa.int64()),
+            "status": pa.array([status], pa.string()),
+            "updated_at": pa.array(
+                [_dt.datetime.now(_dt.timezone.utc)],
+                pa.timestamp("us", tz="UTC"),
+            ),
+        }
     )
-    spark.createDataFrame(row, schema).write.mode("append").parquet(
-        fmt.metrics_dir(index_dir)
-    )
+    d = fmt.metrics_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(d, "." + name + ".tmp")
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, os.path.join(d, name))
 
 
 TOKENS_PER_PARTITION = 2_000_000  # target postings per build partition
