@@ -24,7 +24,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import bit_of_nibble, minhash_col, nibble, shingles
+from ..functions.text import minhash_col, shingles
 from ..textnorm import spark_tokens
 
 NUM_MINHASHES = 8
@@ -71,37 +71,65 @@ def minhash_signatures(
     lose selectivity — fine for clustering, poor as a near-dup filter).
     shingle_n=k hashes distinct k-token SHINGLES — the standard web-dedup
     configuration: shingle-set Jaccard is near zero for unrelated docs, so
-    band buckets only group real near-duplicates."""
+    band buckets only group real near-duplicates.
+
+    Shape (round-8): the per-doc min is computed INSIDE the row with
+    array_min(transform(units, ...)) — a pure map operation. The former
+    explode + groupBy(id).agg(min(...)) planned as a SortAggregate
+    (min over an immutable string buffer falls back from hash agg), so
+    the whole exploded (id, unit) relation was SORTED twice and
+    exchanged once; none of that is needed when the group key is the
+    row itself. Lexicographic array_min over md5 hex == the aggregate
+    min (same UTF8 binary comparator), so values are bit-identical.
+    Each transform lambda re-evaluates its input expression per
+    element, so `units` MUST be a materialized column (same hazard as
+    shingles()); tokens likewise before shingles() references them
+    (inlining the tokenizer re-ran it per shingle — O(n_tokens^2) per
+    doc, measured 24 min for 400k pages at 16 cores, BENCH.md r5)."""
+    toks = df.select(
+        F.col(id_col), spark_tokens(F.col(text_col)).alias("_toks")
+    )
     if shingle_n is None:
-        units = _distinct_terms(df, text_col, id_col)
-    else:
-        # tokens MUST be materialized as their own projected column
-        # before shingles()'s transform lambda references them: an
-        # expression inside a transform() lambda is re-evaluated PER
-        # ELEMENT (no cross-lambda CSE), so inlining spark_tokens here
-        # re-ran the whole tokenizer once per shingle — O(n_tokens^2)
-        # per doc, measured as 24 min for 400k pages at 16 cores
-        # (BENCH.md round-5; same disease as the r4 langid fix)
-        # per-doc array_distinct replaces the corpus-wide .distinct():
-        # the key is (id, shingle), so dedup never crosses docs and the
-        # exploded-relation exchange is pure overhead (round-8)
-        units = (
-            df.select(
-                F.col(id_col),
-                spark_tokens(F.col(text_col)).alias("_toks"),
-            )
-            .select(
-                F.col(id_col),
-                F.explode(
-                    F.array_distinct(shingles(F.col("_toks"), shingle_n))
-                ).alias("term"),
-            )
+        units = toks.select(
+            F.col(id_col), F.array_distinct(F.col("_toks")).alias("_units")
         )
-    aggs = [
-        F.min(minhash_col(F.col("term"), i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return units.groupBy(id_col).agg(*aggs)
+    else:
+        units = toks.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles(F.col("_toks"), shingle_n)
+            ).alias("_units"),
+        )
+    u = F.col("_units")
+    sig_struct = F.struct(
+        *[
+            F.array_min(
+                F.transform(u, lambda t: minhash_col(t, i))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # docs with no units are dropped (no signature) — same contract as
+    # the former groupBy over the exploded relation. The drop is an
+    # explode of a 0-or-1-element array, NOT a where(): Catalyst pushes
+    # a filter below both projections and inlines the whole
+    # tokenize/shingle chain into the pushed predicate — including into
+    # a transform lambda, the O(n_tokens^2)-per-doc re-evaluation
+    # hazard pinned by tests/test_plans.py; Generate is a pushdown
+    # barrier, so everything stays single-evaluation.
+    arr_type = (
+        "array<struct<"
+        + ",".join(f"h{i}:string" for i in range(num_hashes))
+        + ">>"
+    )
+    return units.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(u) > 0, F.array(sig_struct)).otherwise(
+                F.array().cast(arr_type)
+            )
+        ).alias("_sig"),
+    ).select(F.col(id_col), "_sig.*")
 
 
 def _band_buckets(
@@ -421,6 +449,11 @@ def lsh_candidate_pairs(
             .mapInArrow(
                 _expand_pairs_arrow(), schema="id_a long, id_b long"
             )
+            # plain JVM distinct, kept deliberately (round-8): an A/B vs
+            # hash-repartition + vectorized per-partition numpy unique
+            # measured 12-13 s (JVM) vs ~20 s (numpy) steady-state at
+            # 92M rows — the extra Python boundary crossing costs more
+            # than the high-cardinality hash agg saves here
             .distinct()
         )
     small = grouped.where(F.size(mem) <= max_bucket).select(
@@ -466,17 +499,29 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash long): per-bit majority vote over distinct terms' md5
     bits (unweighted). 60 bits so the value stays positive in a long."""
-    terms = _distinct_terms(df, text_col, id_col).withColumn(
-        "h", F.md5(F.col("term"))
+    # one conv of the leading 15 hex digits to a 60-bit long, then per-bit
+    # shift/and — bit k of hex digit j+1 (the nibble/bit_of_nibble
+    # definition) is bit 4*(14-j)+k of that long. Same values as the
+    # former 15x substring+conv + 60x float floor-div, ~4x fewer
+    # expression nodes per term row (round-8).
+    terms = _distinct_terms(df, text_col, id_col).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("term")), 1, bits // 4), 16, 10)
+        .cast("long")
+        .alias("v"),
     )
-    # project per-bit +-1 contributions, then one agg
+    v = F.col("v")
     bit_cols = []
-    for j in range(bits // 4):  # hex digit 1..15
-        nib = nibble(F.col("h"), j + 1)
+    for j in range(bits // 4):  # hex digit 1..15, most significant first
         for k in range(4):
             bitnum = j * 4 + k
+            pos = 4 * (bits // 4 - 1 - j) + k
             bit_cols.append(
-                (bit_of_nibble(nib, k) * 2 - 1).alias(f"b{bitnum}")
+                (
+                    F.shiftright(v, pos).bitwiseAND(F.lit(1)).cast("int")
+                    * 2
+                    - 1
+                ).alias(f"b{bitnum}")
             )
     proj = terms.select(F.col(id_col), *bit_cols)
     aggs = [F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
