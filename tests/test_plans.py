@@ -145,7 +145,12 @@ def test_no_tokenizer_above_generate(spark, tmp_path):
     joined = toks.join(dl.hint("broadcast"), "doc_id")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     above_generate = plan.split("Generate", 1)[0]
-    assert "regexp_replace" not in above_generate
+    # the whitespace-class split pattern is the tokenizer's distinctive
+    # op (round-8: spark_tokens is translate+split+array_remove; the
+    # former marker regexp_replace no longer appears in it at all)
+    from text_search_spark.textnorm import WS_CLASS
+
+    assert WS_CLASS + "+" not in above_generate
 
 
 def test_textstats_profile_no_shuffle(spark):
@@ -322,11 +327,12 @@ def test_shingle_minhash_tokenizer_evaluated_once(spark):
     array per element, so an inlined (non-materialized) tokenizer
     re-runs once per shingle — O(n_tokens^2) per document, measured as
     273 -> 8,584 docs/s (31x) at 400k pages when fixed (BENCH.md
-    round-5). regexp_replace is the tokenizer's distinctive op
-    (spark_normalize's whitespace collapse); spark_tokens references
-    the normalize chain twice textually (empty-guard + split), so the
-    materialized baseline is exactly 2 occurrences — the inlined
-    quadratic form measures 6 (guard + size + per-element slice)."""
+    round-5). The whitespace-class split pattern is the tokenizer's
+    distinctive op (round-8 spark_tokens: translate + split +
+    array_remove — single textual reference to the chain), so the
+    materialized baseline is exactly 1 occurrence; an inlined
+    (re-evaluated) form measures 2+ (pushed-filter guard, size, or
+    per-element slice each add one)."""
     from text_search_spark.operators import dedup
     from text_search_spark.operators.textstats import (
         doc_fingerprint,
@@ -340,4 +346,6 @@ def test_shingle_minhash_tokenizer_evaluated_once(spark):
         profile(docs),
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("regexp_replace") == 2, plan[:4000]
+        from text_search_spark.textnorm import WS_CLASS
+
+        assert plan.count(WS_CLASS + "+") == 1, plan[:4000]

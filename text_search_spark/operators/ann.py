@@ -331,12 +331,22 @@ def kmeans_centroids(
     # k-means up to centroid scaling, aligning the trained partition with
     # the cosine assignment rule (training on raw vectors lets norm
     # variation split direction-clusters: measured recall@5 0.65 -> >0.9)
+    from pyspark import StorageLevel
+
     feats = _unit_rows(vectors, id_col, vec_col).select(
         array_to_vector(F.col("u")).alias("features")
     )  # exact-division unit vectors (see _unit_rows)
+    # persist for the training's duration: k-means|| init + every Lloyd
+    # iteration re-scans the input, and MLlib's internal caching sits
+    # ABOVE this projection's interpreted per-row normalization fold —
+    # measured 20.7-28.7 s -> 8.1-10.1 s at 20k x 64d with bit-identical
+    # centroids (round-8; intra-call reuse only, unpersisted below)
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    feats.count()
     model = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter, initMode="k-means||"
     ).fit(feats)
+    feats.unpersist()
     out = []
     for cell, c in enumerate(model.clusterCenters()):
         v = np.asarray(c, dtype=np.float64)

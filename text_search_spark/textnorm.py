@@ -150,13 +150,24 @@ def spark_normalize(col):
 
 
 def spark_tokens(col):
-    """Spark Column: array<string> of tokens (empty array for blank text)."""
+    """Spark Column: array<string> of tokens (empty array for blank text).
+
+    NOT spark_normalize + split: splitting directly on runs of the
+    whitespace class and dropping empty elements yields the identical
+    token array (leading/trailing separators produce exactly the ""
+    elements array_remove drops; a blank/empty input becomes all-""
+    -> []) while skipping the collapse regexp_replace + btrim pass AND
+    the empty-string CASE guard that referenced the whole normalize
+    chain twice. Measured 0.62-0.73 -> 0.44-0.46 s for the 50k-doc
+    tokenize+explode at local[32], token-array equality verified over
+    the full corpus (round-8). array_remove is a codegen'd JVM
+    expression (no per-element lambda)."""
     from pyspark.sql import functions as F
 
-    n = spark_normalize(col)
-    return F.when(n == "", F.array().cast("array<string>")).otherwise(
-        F.split(n, " ", -1)
-    )
+    spaces = " " * len(_PUNCT_CHARS)
+    c = F.translate(col, _ASCII_LOWER, _ASCII_UPPER)
+    c = F.translate(c, _PUNCT_CHARS, spaces)
+    return F.array_remove(F.split(c, WS_CLASS + "+", -1), "")
 
 
 # ---------------------------------------------------------------------------
