@@ -424,8 +424,9 @@ def test_incremental_term_stats_deltas(spark, tmp_path):
     assert view == want
 
     # rebuild folds the deltas: same values, delta list cleared, files
-    # physically removed
-    rebuild_term_stats(spark, ix)
+    # physically removed (delta_grace_s=0 — the production default
+    # keeps them for a landing-window grace, ADVICE round-8)
+    rebuild_term_stats(spark, ix, delta_grace_s=0)
     man = fmt.load_manifest(ix)
     assert man.stages.get("term_stats") and not man.term_stats_delta_files
     base2 = {
@@ -475,8 +476,16 @@ def test_fold_term_stats_deltas(spark, tmp_path):
         for r in IndexReader(spark, ix).term_stats().collect()
     }
 
-    assert not fold_term_stats_deltas(spark, ix, max_delta_files=8)
-    assert fold_term_stats_deltas(spark, ix, max_delta_files=2)
+    # delta_grace_s=0: this single-process test asserts immediate
+    # physical removal; the production default keeps consumed files for
+    # a landing-window grace so readers pinned to the prior snapshot
+    # don't lose their delta union mid-life (ADVICE round-8)
+    assert not fold_term_stats_deltas(
+        spark, ix, max_delta_files=8, delta_grace_s=0
+    )
+    assert fold_term_stats_deltas(
+        spark, ix, max_delta_files=2, delta_grace_s=0
+    )
     man = fmt.load_manifest(ix)
     assert len(man.term_stats_delta_files) == 1
     assert man.term_stats_delta_files[0].startswith("fold-")
@@ -501,3 +510,59 @@ def test_fold_term_stats_deltas(spark, tmp_path):
         for r in IndexReader(spark, ix).term_stats().collect()
     }
     assert base == want
+
+
+def test_term_stats_maintenance_serialized(spark, tmp_path):
+    """Round-8 ADVICE fix: fold and rebuild are one-at-a-time on
+    .term_stats.lock — a fold racing a rebuild would double-count df/cf
+    (the rebuild bakes consumed deltas into the new base while the
+    fold's rebased commit re-adds the same sums as a fold file). A held
+    live lock makes the opportunistic fold a no-op and the explicit
+    rebuild a loud error; a stale lock (dead owner, same host) is
+    broken and the claim proceeds."""
+    import os
+    import socket
+
+    from text_search_spark.streaming.incremental import (
+        _append_batch,
+        fold_term_stats_deltas,
+        rebuild_term_stats,
+    )
+
+    pages = generate_pages(40)
+    pdf = spark.createDataFrame(
+        [(p.url, p.text) for p in pages], "url string, text string"
+    )
+    rows = prepare_corpus(pdf, url_col="url").collect()
+    ix = str(tmp_path / "ts_lock_ix")
+    for b in range(3):
+        _append_batch(
+            spark,
+            spark.createDataFrame(
+                rows[10 * b: 10 * (b + 1)],
+                "doc_id long, url string, text string",
+            ),
+            ix,
+            batch_id=b,
+        )
+
+    lock = os.path.join(ix, ".term_stats.lock")
+    me = f"{os.getpid()}@{socket.gethostname()}"  # this pid IS alive
+    with open(lock, "w") as fh:
+        fh.write(me)
+    # live lock: fold skips (False even though >2 deltas accumulated),
+    # rebuild refuses loudly
+    assert not fold_term_stats_deltas(
+        spark, ix, max_delta_files=2, delta_grace_s=0
+    )
+    with pytest.raises(RuntimeError, match="one-at-a-time"):
+        rebuild_term_stats(spark, ix)
+    os.remove(lock)
+
+    # stale lock (dead pid on this host): broken atomically, fold runs
+    with open(lock, "w") as fh:
+        fh.write(f"999999999@{socket.gethostname()}")
+    assert fold_term_stats_deltas(
+        spark, ix, max_delta_files=2, delta_grace_s=0
+    )
+    assert not os.path.exists(lock)  # released after the fold

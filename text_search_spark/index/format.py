@@ -275,6 +275,60 @@ def set_commit_backend(b: CommitBackend) -> CommitBackend:
     return prev
 
 
+def try_claim_pid_lock(lock: str) -> bool:
+    """Atomically claim a pid@host lock file (O_CREAT|O_EXCL — the same
+    local-FS atomicity class as the CAS snapshot claim; an object-store
+    backend would claim via conditional PUT). Returns False when the
+    lock is held by a LIVE owner (or one we cannot verify: another
+    host, alive under another uid, unreadable).
+
+    Stale-lock recovery keeps the crash-rerun contract: if the recorded
+    host matches and the pid is dead, the stale lock is broken via an
+    atomic RENAME to a unique name — never os.remove — so when several
+    processes judge the same dead owner stale, exactly one wins the
+    break (the losers' replace fails, source gone) and O_EXCL then
+    decides the claim; with remove, a slow breaker could delete the
+    winner's freshly-claimed lock and both would run (round-8, ADVICE
+    fix). Shared by compaction (.compact{gen}.lock, merge.py) and
+    term_stats maintenance (.term_stats.lock, streaming/incremental)."""
+    import socket
+
+    me = f"{os.getpid()}@{socket.gethostname()}"
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, me.encode())
+            finally:
+                os.close(fd)
+            return True
+        except FileExistsError:
+            if attempt == 1:
+                return False
+            stale = False
+            try:
+                with open(lock, "r") as fh:
+                    pid_s, _, host = fh.read().strip().partition("@")
+                if host == socket.gethostname() and pid_s.isdigit():
+                    try:
+                        os.kill(int(pid_s), 0)
+                    except ProcessLookupError:
+                        stale = True  # same host, owner dead: crashed
+                    except PermissionError:
+                        pass  # alive under another uid
+            except OSError:
+                pass  # unreadable/vanished: retry the claim once
+            if not stale:
+                return False
+            broken = f"{lock}.broken-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            try:
+                os.replace(lock, broken)
+                os.remove(broken)
+            except FileNotFoundError:
+                pass
+    return False
+
+
 def _read_json(path: str) -> Optional[dict]:
     raw = _BACKEND.read(path)
     return None if raw is None else json.loads(raw)
@@ -327,9 +381,14 @@ def load_manifest(index_dir: str) -> Optional[IndexManifest]:
     m = _manifest_from_dict(index_dir, d) if d is not None else None
     latest = latest_snapshot_id(index_dir)
     if latest > (m.snapshot_id if m is not None else 0):
-        m = _manifest_from_dict(
-            index_dir, read_snapshot_dict(index_dir, latest)
-        )
+        # the snapshot listed a moment ago may have been expired by a
+        # concurrent expire_snapshots between latest_snapshot_id() and
+        # this read — fall back to the pointer manifest instead of
+        # IndexManifest(**None) (same None-guard snapshot_history and
+        # vacuum_segments already apply)
+        sd = read_snapshot_dict(index_dir, latest)
+        if sd is not None:
+            m = _manifest_from_dict(index_dir, sd)
     return m
 
 

@@ -55,43 +55,13 @@ def _claim_compaction_lock(index_dir: str, gen: int) -> str:
 
     Stale-lock recovery keeps the crash-rerun contract: the lock
     records pid@host; if the host matches and the pid is dead, the
-    claim is broken and retried once. A live owner, a different host,
-    or an unreadable lock raises RuntimeError (remove the lock by hand
-    only if you are certain no compaction is running)."""
-    import socket
-
+    claim is broken (atomic-rename break — one winner; see
+    fmt.try_claim_pid_lock) and retried once. A live owner, a different
+    host, or an unreadable lock raises RuntimeError (remove the lock by
+    hand only if you are certain no compaction is running)."""
     lock = os.path.join(index_dir, f".compact{gen}.lock")
-    me = f"{os.getpid()}@{socket.gethostname()}"
-    for attempt in (0, 1):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            try:
-                os.write(fd, me.encode())
-            finally:
-                os.close(fd)
-            return lock
-        except FileExistsError:
-            if attempt == 1:
-                break
-            stale = False
-            try:
-                with open(lock, "r") as fh:
-                    pid_s, _, host = fh.read().strip().partition("@")
-                if host == socket.gethostname() and pid_s.isdigit():
-                    try:
-                        os.kill(int(pid_s), 0)
-                    except ProcessLookupError:
-                        stale = True  # same host, owner dead: crashed
-                    except PermissionError:
-                        pass  # alive under another uid
-            except OSError:
-                pass  # unreadable/vanished: re-raise below if still held
-            if not stale:
-                break
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+    if fmt.try_claim_pid_lock(lock):
+        return lock
     raise RuntimeError(
         f"compaction generation {gen} already claimed by another run "
         f"({lock}); concurrent compactions are one-at-a-time. If the "
@@ -359,10 +329,36 @@ def compact_in_place(
     (`.compact{gen}.lock`, see _claim_compaction_lock) BEFORE the
     stray cleanup, so a second same-generation run fails loudly
     instead of deleting this run's landing files."""
-    man = fmt.load_manifest(index_dir)
-    assert man is not None and man.complete
-    gen = sum(1 for k in man.stages if k.startswith("compact:"))
-    lock = _claim_compaction_lock(index_dir, gen)
+    # claim-then-revalidate (round-8, ADVICE fix): computing the
+    # generation BEFORE the claim leaves a window — run A commits gen N
+    # and releases its lock between our manifest read and our claim, so
+    # we'd claim the FREED .compact{N}.lock holding a stale manifest,
+    # and the unconditional stray cleanup below would delete A's now-
+    # COMMITTED compact{N}- files. Re-load the manifest INSIDE the
+    # lock; if the generation moved, release and retry at the new one.
+    for _attempt in range(5):
+        man = fmt.load_manifest(index_dir)
+        assert man is not None and man.complete
+        gen = sum(1 for k in man.stages if k.startswith("compact:"))
+        lock = _claim_compaction_lock(index_dir, gen)
+        man2 = fmt.load_manifest(index_dir)
+        gen2 = (
+            sum(1 for k in man2.stages if k.startswith("compact:"))
+            if man2 is not None and man2.complete
+            else -1
+        )
+        if gen2 == gen:
+            man = man2
+            break
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+    else:
+        raise RuntimeError(
+            "compaction generation kept moving under concurrent "
+            f"commits at {index_dir}; retry when the index quiesces"
+        )
     try:
         _compact_in_place_locked(
             spark, index_dir, man, gen, factor, one_file_per_bucket

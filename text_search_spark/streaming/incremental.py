@@ -425,8 +425,48 @@ def incremental_index(
     return writer.start()
 
 
+# consumed delta files survive on disk this long after the commit that
+# unreferenced them: a long-lived IndexReader pinned to the PRIOR
+# snapshot still unions the old delta set on its next term_stats()
+# call, and an immediate unlink turned that into path-does-not-exist
+# (round-8, ADVICE fix — same landing-window discipline as
+# vacuum_segments' grace_s). 0 = immediate (tests / single-process).
+TERM_STATS_DELTA_GRACE_S = 600.0
+
+
+def _term_stats_lock_path(index_dir: str) -> str:
+    return os.path.join(index_dir, ".term_stats.lock")
+
+
+def _sweep_unreferenced_deltas(index_dir: str, grace_s: float) -> None:
+    """Remove delta files no CURRENT manifest references, once older
+    than grace_s (mtime). Also sweeps crash leftovers from interrupted
+    folds/rebuilds. Best-effort: a lost race with a concurrent remover
+    is fine."""
+    import time as _time
+
+    man = fmt.load_manifest(index_dir)
+    ref = set(man.term_stats_delta_files or []) if man is not None else set()
+    td = fmt.term_stats_deltas_dir(index_dir)
+    if not os.path.isdir(td):
+        return
+    now = _time.time()
+    for f in os.listdir(td):
+        if f.startswith(".") or not f.endswith(".parquet") or f in ref:
+            continue
+        p = os.path.join(td, f)
+        try:
+            if grace_s <= 0 or now - os.path.getmtime(p) > grace_s:
+                os.remove(p)
+        except OSError:
+            pass
+
+
 def fold_term_stats_deltas(
-    spark: SparkSession, index_dir: str, max_delta_files: int = 64
+    spark: SparkSession,
+    index_dir: str,
+    max_delta_files: int = 64,
+    delta_grace_s: float = TERM_STATS_DELTA_GRACE_S,
 ) -> bool:
     """Fold the snapshot's term_stats delta files into ONE combined
     delta once more than max_delta_files have accumulated (a long
@@ -440,9 +480,38 @@ def fold_term_stats_deltas(
     in the consumed set and survive (same discipline as
     rebuild_term_stats). The manifest-only length check makes this
     safe to call after every micro-batch (incremental_index does).
-    Consumed files are removed best-effort after the commit — a crash
-    before removal leaves unreferenced files a later fold's removal or
-    operator cleanup sweeps; they are never read again."""
+    Consumed files are swept best-effort after a `delta_grace_s`
+    landing window (readers pinned to the prior snapshot keep reading
+    them until they refresh — ADVICE round-8); a crash before the
+    sweep leaves unreferenced files a later fold's sweep collects.
+
+    Fold and rebuild are serialized on `.term_stats.lock` (round-8,
+    ADVICE fix): a fold racing a rebuild double-counted df/cf — the
+    rebuild bakes the consumed deltas into the new base while the
+    fold's CAS-rebased commit re-adds the same sums as a fold file
+    (the rebase protects list membership, not that semantic
+    conflict). The fold is opportunistic, so a held lock just means
+    "maintenance already running" and returns False."""
+    lock = _term_stats_lock_path(index_dir)
+    if not fmt.try_claim_pid_lock(lock):
+        return False
+    try:
+        return _fold_term_stats_locked(
+            spark, index_dir, max_delta_files, delta_grace_s
+        )
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _fold_term_stats_locked(
+    spark: SparkSession,
+    index_dir: str,
+    max_delta_files: int,
+    delta_grace_s: float,
+) -> bool:
     import uuid as _uuid
 
     man0 = fmt.load_manifest(index_dir)
@@ -485,15 +554,37 @@ def fold_term_stats_deltas(
         ) or None
 
     fmt.commit_manifest(index_dir, _commit)
-    for rel in consumed:
-        try:
-            os.remove(os.path.join(td, rel))
-        except FileNotFoundError:
-            pass
+    _sweep_unreferenced_deltas(index_dir, delta_grace_s)
     return True
 
 
-def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
+def rebuild_term_stats(
+    spark: SparkSession,
+    index_dir: str,
+    delta_grace_s: float = TERM_STATS_DELTA_GRACE_S,
+) -> None:
+    # serialized against fold_term_stats_deltas on the same lock (see
+    # there: a racing fold re-adds delta sums the rebuild just baked
+    # into the base). Rebuild is an explicit operator action, so a held
+    # lock is a loud error rather than a silent skip.
+    lock = _term_stats_lock_path(index_dir)
+    if not fmt.try_claim_pid_lock(lock):
+        raise RuntimeError(
+            f"term_stats maintenance already running at {index_dir} "
+            f"({lock}); fold/rebuild are one-at-a-time"
+        )
+    try:
+        _rebuild_term_stats_locked(spark, index_dir, delta_grace_s)
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _rebuild_term_stats_locked(
+    spark: SparkSession, index_dir: str, delta_grace_s: float
+) -> None:
     man0 = fmt.load_manifest(index_dir)
     root = fmt.segments_dir(index_dir)
     if man0 is not None and man0.segment_files is not None:
@@ -551,15 +642,10 @@ def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
         ) or None
 
     fmt.commit_manifest(index_dir, _mark)
-    # consumed delta files are unreferenced by the new snapshot —
-    # best-effort physical cleanup (term_stats has never been
-    # time-travel-pinned: the base itself is overwritten in place)
-    td = fmt.term_stats_deltas_dir(index_dir)
-    for rel in consumed:
-        try:
-            os.remove(os.path.join(td, rel))
-        except FileNotFoundError:
-            pass
+    # consumed delta files are unreferenced by the new snapshot — swept
+    # after the landing-window grace (readers pinned to the prior
+    # snapshot keep unioning them until they refresh)
+    _sweep_unreferenced_deltas(index_dir, delta_grace_s)
 
 
 def incremental_deletes(
