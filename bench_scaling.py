@@ -163,8 +163,17 @@ def child(cores: int) -> None:
         stage_id0 = _max_stage_id()
         stage_wall: dict = {}
         t0 = time.perf_counter()
+        # TSS_SCALE_BUCKETS/SHARDS force the segment layout (round-8:
+        # the wave-quantization falsification experiment — auto-sizing
+        # at 400k gives ~36 key cells = 2.25 waves over 16 cores; a
+        # forced >=144-cell layout kills the wave tail so the segments
+        # stage's efficiency isolates the memory-bandwidth component)
+        fb = os.environ.get("TSS_SCALE_BUCKETS")
+        fs = os.environ.get("TSS_SCALE_SHARDS")
         build_index(
-            spark, corpus, ix, n_buckets=None, n_shards=None,
+            spark, corpus, ix,
+            n_buckets=int(fb) if fb else None,
+            n_shards=int(fs) if fs else None,
             bucket_groups=1, stage_sink=stage_wall,
         )
         dt = time.perf_counter() - t0
