@@ -207,6 +207,48 @@ def test_lsh_dup_pairs_no_cartesian(spark):
     out.collect()  # and it runs
 
 
+def test_lsh_pair_dedup_post_shuffle_agg(spark):
+    """The candidate-pair distinct must run BOTH aggregate phases after
+    an explicit hash exchange on the pair key (round-8b): a bare
+    .distinct() put the partial agg map-side, where per-task hash state
+    over the generated-pair relation sat at the fallback-to-sort edge
+    (measured 8.4-23.8 s run-to-run for the same phase at 50k docs).
+    Pins: (a) the exchange is REPARTITION_BY_NUM hash on (id_a, id_b)
+    — user-specified, so AQE cannot re-coalesce it into few fat
+    partitions; (b) no aggregate runs below that exchange (map side)."""
+    from text_search_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    plan = formatted_plan(pairs)
+    exch = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(id_a" in ln and "REPARTITION_BY_NUM" in ln
+    ]
+    assert exch, plan
+    # tree order (root to leaf): HashAggregate(final) -> HashAggregate
+    # (partial) -> Exchange(pair key) -> MapInArrow. The pair-dedup aggs
+    # (plain HashAggregate; the bucket grouping is ObjectHashAggregate)
+    # must all sit ABOVE the pair exchange, MapInArrow below it.
+    lines = plan.split("\n\n")[0].splitlines()
+    agg_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate" in ln and "ObjectHashAggregate" not in ln
+    ]
+    # the pair exchange is the first Exchange below the dedup aggs
+    pair_exch = min(
+        i for i, ln in enumerate(lines)
+        if "Exchange" in ln and i > max(agg_idx)
+    )
+    map_idx = min(i for i, ln in enumerate(lines) if "MapInArrow" in ln)
+    assert all(i < pair_exch for i in agg_idx), plan
+    assert map_idx > pair_exch, plan
+    # and nothing between the aggs and their exchange (no map-side agg)
+    assert pair_exch - max(agg_idx) == 1, plan
+
+
 def test_build_segment_plan_shape(spark):
     """The segment pipeline must have exactly ONE exchange (the
     (term_bucket, shard) repartition) and NO join — doc_len comes from

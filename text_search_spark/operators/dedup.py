@@ -375,6 +375,20 @@ def lsh_candidate_pairs(
     # round-robin count so AQE doesn't re-coalesce; scale-adaptive
     # (cluster width), not a local constant.
     expand_parts = 2 * sigs.sparkSession.sparkContext.defaultParallelism
+    # the dedup of generated pairs is an explicit hash repartition on the
+    # pair key followed by distinct (round-8b): the aggregate's required
+    # distribution is already satisfied, so BOTH agg phases run
+    # post-shuffle over pairs/K rows of state per task; the former bare
+    # .distinct() ran its map-side partial agg with ~1.4-2.9M rows per
+    # task against a ~145 MB execution-memory budget — right at the
+    # hash-map fallback edge, where it degraded to per-task external
+    # SORTS of the pair relation (measured: 8.4-23.8 s for the same
+    # phase run-to-run; the restructure measured median ~8.2 s, max
+    # 9.5 s over 4 interleaved rounds, identical 61,047,210 pairs).
+    # 4x cluster width keeps per-task state small at any scale; the
+    # explicit count also stops AQE re-coalescing the exchange back
+    # into few fat partitions (user-specified counts are respected).
+    dedup_parts = 4 * sigs.sparkSession.sparkContext.defaultParallelism
     if max_bucket is None:
         grouped = (
             all_bands.groupBy("band", "bucket")
@@ -388,11 +402,13 @@ def lsh_candidate_pairs(
                 .mapInArrow(
                     _expand_pairs_arrow(), schema="id_a long, id_b long"
                 )
+                .repartition(dedup_parts, "id_a", "id_b")
                 .distinct()
             )
         return (
             grouped.select(F.explode(_clique_pairs(F.col("ids"))).alias("p"))
             .select("p.id_a", "p.id_b")
+            .repartition(dedup_parts, "id_a", "id_b")
             .distinct()
         )
 
@@ -449,11 +465,12 @@ def lsh_candidate_pairs(
             .mapInArrow(
                 _expand_pairs_arrow(), schema="id_a long, id_b long"
             )
-            # plain JVM distinct, kept deliberately (round-8): an A/B vs
-            # hash-repartition + vectorized per-partition numpy unique
-            # measured 12-13 s (JVM) vs ~20 s (numpy) steady-state at
-            # 92M rows — the extra Python boundary crossing costs more
-            # than the high-cardinality hash agg saves here
+            # JVM distinct behind an explicit pair-key repartition
+            # (round-8b, see dedup_parts above). A numpy per-partition
+            # unique variant was A/B'd earlier this round and REJECTED:
+            # 12-13 s (JVM) vs ~20 s (numpy hop) — the extra Python
+            # boundary crossing costs more than the hash agg saves.
+            .repartition(dedup_parts, "id_a", "id_b")
             .distinct()
         )
     small = grouped.where(F.size(mem) <= max_bucket).select(
@@ -488,7 +505,11 @@ def lsh_candidate_pairs(
                 F.explode(F.concat(chunk_pairs, bridges)).alias("p")
             )
         )
-    return out.select("p.id_a", "p.id_b").distinct()
+    return (
+        out.select("p.id_a", "p.id_b")
+        .repartition(dedup_parts, "id_a", "id_b")
+        .distinct()
+    )
 
 
 def simhash(
