@@ -249,6 +249,27 @@ def test_lsh_pair_dedup_post_shuffle_agg(spark):
     assert pair_exch - max(agg_idx) == 1, plan
 
 
+def test_simhash_single_exchange_on_doc_rows(spark):
+    """simhash's only exchange must carry the narrow doc rows (hash on
+    the doc id, BELOW the explode), never the per-term bit relation or
+    its partial sums — at 50k docs the partial-agg exchange carried
+    ~every doc's 60 partial sum columns from every map task (round-8b:
+    2 Exchanges -> 1, bit-identical output)."""
+    from text_search_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(dedup.simhash(docs))
+    lines = plan.split("\n\n")[0].splitlines()
+    exch_idx = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    assert len(exch_idx) == 1, plan
+    gen_idx = [i for i, ln in enumerate(lines) if "Generate" in ln]
+    agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    # tree is root->leaf: aggregates above the explode, the exchange
+    # below the explode (i.e. before it, on doc rows)
+    assert max(agg_idx) < min(gen_idx) < exch_idx[0], plan
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
 def test_build_segment_plan_shape(spark):
     """The segment pipeline must have exactly ONE exchange (the
     (term_bucket, shard) repartition) and NO join — doc_len comes from
