@@ -193,6 +193,31 @@ def test_langid_ngram_codepoint_split_evaluated_once(spark):
     assert "substr" not in plan.lower()
 
 
+def test_langid_single_exchange_on_doc_rows(spark):
+    """langid's only exchange must carry the narrow doc rows (hash on
+    the doc id, BELOW the feature explode + broadcast join, both of
+    which preserve the child partitioning) — never the per-feature
+    relation or the doc-keyed partial sums (round-8b, same shape as
+    dedup.simhash)."""
+    from text_search_spark.operators.textstats import langid_ngram
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    plan = formatted_plan(langid_ngram(docs))
+    lines = plan.split("\n\n")[0].splitlines()
+    # shuffle exchanges only — the ~300-row weight BroadcastExchange
+    # is expected and free
+    exch_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(exch_idx) == 1, plan
+    gen_idx = [i for i, ln in enumerate(lines) if "Generate" in ln]
+    agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert max(agg_idx) < min(gen_idx) < exch_idx[0], plan
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
 def test_lsh_dup_pairs_no_cartesian(spark):
     """Bucketed near-dup must never degrade to an all-pairs cross join."""
     from text_search_spark.operators import ann
