@@ -193,31 +193,6 @@ def test_langid_ngram_codepoint_split_evaluated_once(spark):
     assert "substr" not in plan.lower()
 
 
-def test_langid_single_exchange_on_doc_rows(spark):
-    """langid's only exchange must carry the narrow doc rows (hash on
-    the doc id, BELOW the feature explode + broadcast join, both of
-    which preserve the child partitioning) — never the per-feature
-    relation or the doc-keyed partial sums (round-8b, same shape as
-    dedup.simhash)."""
-    from text_search_spark.operators.textstats import langid_ngram
-
-    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
-    plan = formatted_plan(langid_ngram(docs))
-    lines = plan.split("\n\n")[0].splitlines()
-    # shuffle exchanges only — the ~300-row weight BroadcastExchange
-    # is expected and free
-    exch_idx = [
-        i
-        for i, ln in enumerate(lines)
-        if "Exchange" in ln and "BroadcastExchange" not in ln
-    ]
-    assert len(exch_idx) == 1, plan
-    gen_idx = [i for i, ln in enumerate(lines) if "Generate" in ln]
-    agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
-    assert max(agg_idx) < min(gen_idx) < exch_idx[0], plan
-    assert "hashpartitioning(doc_id" in plan, plan
-
-
 def test_lsh_dup_pairs_no_cartesian(spark):
     """Bucketed near-dup must never degrade to an all-pairs cross join."""
     from text_search_spark.operators import ann
@@ -275,11 +250,12 @@ def test_lsh_pair_dedup_post_shuffle_agg(spark):
 
 
 def test_simhash_single_exchange_on_doc_rows(spark):
-    """simhash's only exchange must carry the narrow doc rows (hash on
-    the doc id, BELOW the explode), never the per-term bit relation or
-    its partial sums — at 50k docs the partial-agg exchange carried
-    ~every doc's 60 partial sum columns from every map task (round-8b:
-    2 Exchanges -> 1, bit-identical output)."""
+    """simhash's only exchange must carry the projected (id, text) doc
+    rows (hash on the doc id, BELOW the explode), never the per-term
+    bit relation or the 61-column doc-keyed partial sums (round-8b:
+    2 Exchanges -> 1, exchange payload ~300 B/doc text vs ~500 B/doc
+    partials at the bench profile, one fewer stage, bit-identical
+    output — see the decision rule in dedup.simhash)."""
     from text_search_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

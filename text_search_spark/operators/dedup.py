@@ -522,18 +522,27 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash long): per-bit majority vote over distinct terms' md5
     bits (unweighted). 60 bits so the value stays positive in a long."""
-    # Pre-partition the DOC rows by id before the explode (round-8b):
-    # Generate/Project preserve the child's hashpartitioning, so the
-    # groupBy(id) runs with its clustering already satisfied — the one
-    # exchange carries n_docs narrow doc rows instead of the partial
-    # aggregation's output, which at 50k docs was ~rows_per_task
-    # partial groups x 60 sum columns from EVERY map task (most docs
-    # appear in every task under round-robin input, so map-side
-    # combining barely reduced it). Measured: 2 Exchanges -> 1,
-    # 1.6-2.3 s -> 1.3-1.7 s at 50k docs, bit-identical simhash for
-    # all 50k. Integer sums, so the regrouping is exact.
+    # Pre-partition the (id, text) doc rows by id before the explode
+    # (round-8b): Generate/Project preserve the child's
+    # hashpartitioning, so the groupBy(id) runs with its clustering
+    # already satisfied and the per-term bit relation never shuffles.
+    # Why this beats the default partial-agg shape HERE: the explode
+    # keeps each doc's terms in its partition, so map-side combining
+    # does reduce to ~one partial row per doc — but that partial row
+    # is 61 columns (~500 B/doc) while an (id, text) doc row is
+    # narrower for short-document corpora (~300 B at the bench
+    # profile), and the explicit repartition additionally collapses
+    # with any upstream input-normalization exchange
+    # (CollapseRepartition) and drops a stage boundary. Measured at
+    # 50k docs: 2 Exchanges -> 1, 1.6-2.3 s -> 1.3-1.7 s,
+    # bit-identical simhash for all 50k (integer sums are exact under
+    # any grouping). Decision rule at scale: for corpora whose
+    # avg text bytes exceed ~8*bits, the 500 B partial row is the
+    # narrower payload and the default shape wins — revisit there.
+    # The projection keeps payload columns out of the exchange
+    # (guide §2.3).
     par = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(par, id_col)
+    df = df.select(id_col, text_col).repartition(par, id_col)
     # one conv of the leading 15 hex digits to a 60-bit long, then per-bit
     # shift/and — bit k of hex digit j+1 (the nibble/bit_of_nibble
     # definition) is bit 4*(14-j)+k of that long. Same values as the

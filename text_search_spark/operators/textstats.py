@@ -223,18 +223,15 @@ def langid_ngram(
     # lambda is re-evaluated per element (no cross-lambda CSE), which
     # would re-run the regexp once per trigram — O(n^2) again, measured
     # as a multi-minute hang on 100k-char docs.
-    # Pre-partition the DOC rows by id before the feature explode
-    # (round-8b, same shape as dedup.simhash): Generate and the
-    # broadcast join both preserve the child's hashpartitioning, so
-    # the groupBy(doc_id) runs with its clustering already satisfied —
-    # the one exchange carries n_docs narrow doc rows instead of the
-    # partial aggregation's output (~every doc's 5 partial sums from
-    # every map task under round-robin input). Measured at 50k docs:
-    # 1.2-2.2 s -> 1.0-1.4 s, predictions and integer scores
-    # unchanged (exact sums).
-    df = df.repartition(
-        spark.sparkContext.defaultParallelism, id_col
-    )
+    # A doc-id pre-partition before the explode (the dedup.simhash
+    # round-8b shape) was A/B'd here and REJECTED: it measured faster
+    # locally (1.2-2.2 -> 1.0-1.4 s at 50k docs), but the win is the
+    # merged input-normalization exchange plus one fewer stage, NOT
+    # narrower shuffle bytes — langid's map-side partial row is only
+    # 5 sum columns (~50 B/doc, the explode keeps each doc's features
+    # in its partition so combining reduces fully), strictly narrower
+    # than shuffling the text itself at any real document size. The
+    # default partial-agg shape is the 100 TB shape; keep it.
     chars_df = df.select(
         F.col(id_col).alias("doc_id"),
         F.regexp_extract_all(
